@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator of the engine: a named DataFrame builder over a
+  * scale-factor directory, with an optional ANSI-SQL oracle (run by the
+  * driver in DuckDB over the same parquet tables). Queries with no
+  * SQL-expressible oracle (approx sketches, streaming-only semantics)
+  * leave `oracle` empty and are covered by ScalaTest fixtures instead.
+  *
+  * Determinism contract: every query's output is fully ordered by all
+  * projected columns (explicit NULLS ordering on both sides), so the
+  * driver's row-hash compare is stable.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object Registry {
+  def all: Seq[QueryDef] =
+    operators.Relational.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.TextAnalysis.defs ++
+      operators.Multimodal.defs ++
+      streaming.EventWindows.defs ++
+      operators.Udfs.defs
+}

@@ -1,13 +1,20 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q07_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2B. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map(d => d.name -> d.run).toMap
+
+  /** DuckDB-runnable ANSI SQL oracle per query (same parquet tables).
+    * Queries without an entry get a weaker rows-only check and are
+    * covered by ScalaTest fixtures instead. */
+  def oracleSql: Map[String, String] =
+    Registry.all.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

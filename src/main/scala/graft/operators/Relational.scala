@@ -1,0 +1,457 @@
+package graft.operators
+
+import graft.{Canon, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Declared relational query inventory, groups G1–G5 of SURVEY.md §2B.
+  *
+  * Each query shape is one the reference's own Spark integration tests
+  * exercise through its shuffle service (citations per query); here they
+  * are first-class declarative plans — Catalyst plans the exchanges the
+  * reference would have transported
+  * (celeborn: tests/spark-it/src/test/scala/org/apache/celeborn/tests/spark/SparkTestBase.scala:95-150).
+  *
+  * Scale notes (100 TB discipline):
+  *  - filters/projections stay in the initial scan (parquet pushdown);
+  *  - dimension joins (region/nation/customer at realistic ratios) are
+  *    broadcast; fact-fact joins shuffle on their keys and rely on AQE
+  *    for skew/coalesce;
+  *  - aggregations are partial+final (map-side combine), never
+  *    driver-side;
+  *  - ORDER BY on output exists for oracle determinism — at production
+  *    scale callers drop the global sort.
+  */
+object Relational {
+  import Canon._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  // ---- G1: scans / sinks -------------------------------------------------
+
+  /** Q01 parquet scan + projection + filter (pushdown verified in
+    * RelationalSpec via the physical plan's PushedFilters). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .where(col("l_quantity") > 30)
+      .orderBy(col("l_orderkey").asc_nulls_last, col("l_quantity").asc_nulls_last)
+
+  private val q01Sql =
+    """SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 30
+      |ORDER BY l_orderkey ASC NULLS LAST, l_quantity ASC NULLS LAST""".stripMargin
+
+  /** Q02 sink round-trip: write Q01 to parquet, re-read, count.
+    * (celeborn: worker commit/persist path, Controller.scala:462) */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_q02"
+    q01(s, dir).write.mode("overwrite").parquet(out)
+    s.read.parquet(out).agg(count(lit(1)).as("n"))
+  }
+
+  // ---- G2: repartition / exchange ---------------------------------------
+
+  /** Q03 hash repartition is content-preserving: grouped checksum after
+    * an explicit 8-way hash exchange on the key
+    * (celeborn: HashBasedShuffleWriter.java:251-286; CelebornHashSuite.scala:46-63). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .repartition(8, col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n_rows"))
+      .orderBy(col("l_orderkey").asc_nulls_last)
+
+  private val q03Sql =
+    s"""SELECT l_orderkey, ${sqlDsum("l_extendedprice")} AS sum_price, COUNT(*) AS n_rows
+       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey ASC NULLS LAST""".stripMargin
+
+  /** Q04 round-robin repartition stability (celeborn: HugeDataTest.scala:40-56). */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .repartition(5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+
+  private val q04Sql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+
+  /** Q05 range repartition + total sort (celeborn: reduce-side sort,
+    * CelebornShuffleReader.scala:526-562; CelebornSortSuite.scala:47-59). */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+
+  private val q05Sql =
+    """SELECT * FROM orders
+      |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin
+
+  // ---- G3: aggregations --------------------------------------------------
+
+  /** Q06 group-by count (celeborn: SparkTestBase.scala:143-150 runsql). */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_last)
+
+  private val q06Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+
+  /** Q07 TPC-H Q1 shape: multi-aggregate with map-side combine
+    * (celeborn: HashBasedShuffleWriter.java:182-190 map combine +
+    * CelebornShuffleReader.scala:563-574 reduce combine). */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(28, 4))).cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), scale = 2, outScale = 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  private val q07Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  ${sqlDavg("l_discount", 2, 6)} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** Q08 combineByKey semantics: (sum, count) → avg
+    * (celeborn: SparkTestBase.scala:111-120). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        dsum(col("c_acctbal")).as("sum_bal"),
+        count(lit(1)).as("n_cust"),
+        davg(col("c_acctbal")).as("avg_bal"))
+      .orderBy(col("c_nationkey").asc_nulls_last)
+
+  private val q08Sql =
+    s"""SELECT c_nationkey, ${sqlDsum("c_acctbal")} AS sum_bal, COUNT(*) AS n_cust,
+       |  ${sqlDavg("c_acctbal")} AS avg_bal
+       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey ASC NULLS LAST""".stripMargin
+
+  /** Q09 distinct aggregation (expand + two-phase agg; celeborn's dedup
+    * sets are the transport analogue, CelebornInputStream.java:864-899). */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n_rows"))
+
+  private val q09Sql =
+    """SELECT COUNT(DISTINCT l_partkey) AS nd_part, COUNT(DISTINCT l_suppkey) AS nd_supp,
+      |  COUNT(*) AS n_rows FROM lineitem""".stripMargin
+
+  /** Q10 rollup (multi-shuffle composition; celeborn supports arbitrary
+    * ShuffleDependency DAGs, CelebornFetchFailureSuite.scala:169-210). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .rollup(col("n_regionkey"), col("n_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey").asc_nulls_first, col("n_nationkey").asc_nulls_first,
+        col("n").asc_nulls_last)
+
+  private val q10Sql =
+    """SELECT n_regionkey, n_nationkey, COUNT(*) AS n FROM nation
+      |GROUP BY ROLLUP(n_regionkey, n_nationkey)
+      |ORDER BY n_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST, n ASC NULLS LAST""".stripMargin
+
+  /** Q11 approx distinct (HLL++). No SQL oracle — HLL estimates are
+    * implementation-specific; RelationalSpec asserts ±5 % of exact. */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_part"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supp"))
+
+  // ---- G4: joins ---------------------------------------------------------
+
+  /** Q12 shuffle sort-merge equi-join (celeborn:
+    * CelebornFetchFailureSuite.scala:139-141 df.hint("merge").join). */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.hint("merge")
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+      .orderBy(col("o_orderkey").asc_nulls_last, col("o_totalprice").asc_nulls_last,
+        col("c_name").asc_nulls_last)
+  }
+
+  private val q12Sql =
+    """SELECT o_orderkey, o_totalprice, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey ASC NULLS LAST, o_totalprice ASC NULLS LAST, c_name ASC NULLS LAST""".stripMargin
+
+  /** Q13 broadcast join: dims stay exchange-free (the capability the
+    * reference's small-shuffle fallback approximates,
+    * ShufflePartitionsFallbackPolicy.java). */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name").asc_nulls_last, col("r_name").asc_nulls_last)
+  }
+
+  private val q13Sql =
+    """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_name ASC NULLS LAST, r_name ASC NULLS LAST""".stripMargin
+
+  /** Q14 outer join + aggregate (null-producing shape; celeborn:
+    * toolkit/scripts/genSkewData.scala:38-56 outer path). */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey").asc_nulls_last, col("n_orders").asc_nulls_last)
+  }
+
+  private val q14Sql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS LAST, n_orders ASC NULLS LAST""".stripMargin
+
+  /** Q15 semi + anti join, tagged and unioned. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(lit("semi").as("kind"), col("c_custkey"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(lit("anti").as("kind"), col("c_custkey"))
+    semi.unionAll(anti)
+      .orderBy(col("kind").asc_nulls_last, col("c_custkey").asc_nulls_last)
+  }
+
+  private val q15Sql =
+    """SELECT 'semi' AS kind, c_custkey FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'anti' AS kind, c_custkey FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY kind ASC NULLS LAST, c_custkey ASC NULLS LAST""".stripMargin
+
+  /** Q16 fact-fact shuffle join, checksummed — the skew-join shape (AQE
+    * skew split enabled in session; celeborn: SkewJoinSuite.scala:47-110,
+    * CelebornPartitionUtil.java:60-100). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    l.hint("merge")
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_last)
+  }
+
+  private val q16Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_rows, ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
+
+  /** Q17 theta join: equi key + non-equi residual. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey") && l("l_quantity") > p("p_size"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  private val q17Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+      |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+
+  // ---- G5: windows / top-k / set ops / functions ------------------------
+
+  /** Q18 ranking window, top-3 orders per customer (window = hash
+    * exchange + in-partition sort, §2A rows 2+18). */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy(col("o_custkey").asc_nulls_last, col("rn").asc_nulls_last,
+        col("o_orderkey").asc_nulls_last)
+  }
+
+  private val q18Sql =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST) AS rn
+      |  FROM orders) q WHERE rn <= 3
+      |ORDER BY o_custkey ASC NULLS LAST, rn ASC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin
+
+  /** Q19 analytic window with running frame (exact decimal accumulation
+    * so the running sum is order-reproducible). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(28, 2))).over(w)
+          .cast("double").as("running_total"))
+      .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last,
+        col("running_total").asc_nulls_last)
+  }
+
+  private val q19Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST, running_total ASC NULLS LAST""".stripMargin
+
+  /** Q20 top-K: global sort + limit → TakeOrderedAndProject (per-partition
+    * heaps then driver merge — no full global sort at scale). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc_nulls_last, col("l_orderkey").asc_nulls_last,
+        col("l_linenumber").asc_nulls_last)
+      .limit(20)
+
+  private val q20Sql =
+    """SELECT * FROM lineitem
+      |ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey ASC NULLS LAST,
+      |  l_linenumber ASC NULLS LAST LIMIT 20""".stripMargin
+
+  /** Q21 set ops: INTERSECT / EXCEPT / UNION (distinct) / UNION ALL over
+    * customer-key projections (distinct-set semantics = dedup, §2A row 14). */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").where(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("k"))
+    val b = t(s, dir, "orders").where(col("o_totalprice") > 1000)
+      .select(col("o_custkey").as("k"))
+    a.intersect(b).select(lit("int").as("op"), col("k"))
+      .unionAll(a.except(b).select(lit("exc").as("op"), col("k")))
+      .unionAll(a.union(b).distinct().select(lit("uni").as("op"), col("k")))
+      .unionAll(a.unionAll(b).select(lit("all").as("op"), col("k")))
+      .orderBy(col("op").asc_nulls_last, col("k").asc_nulls_last)
+  }
+
+  private val q21Sql =
+    """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0),
+      |     b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 1000)
+      |SELECT 'int' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b) q1
+      |UNION ALL SELECT 'exc' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b) q2
+      |UNION ALL SELECT 'uni' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b) q3
+      |UNION ALL SELECT 'all' AS op, k FROM (SELECT k FROM a UNION ALL SELECT k FROM b) q4
+      |ORDER BY op ASC NULLS LAST, k ASC NULLS LAST""".stripMargin
+
+  /** Q22 scalar functions (string/date/math) over a 3-way join. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val o = t(s, dir, "orders")
+    val j = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+    val cols = Seq(
+      upper(col("p_brand")).as("up_brand"),
+      length(col("p_name")).as("len_name"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      round(col("o_totalprice"), 1).as("rp"),
+      round(abs(col("l_discount") - 0.05), 4).as("ad"),
+      concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("rl"))
+    j.select(cols: _*)
+      .orderBy(cols.indices.map(i => col(Seq("up_brand", "len_name", "yr", "mo", "rp", "ad", "rl")(i)).asc_nulls_last): _*)
+  }
+
+  private val q22Sql =
+    """SELECT upper(p_brand) AS up_brand, length(p_name) AS len_name,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  round(o_totalprice, 1) AS rp, round(abs(l_discount - 0.05), 4) AS ad,
+      |  concat(l_returnflag, '-', l_linestatus) AS rl
+      |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY up_brand ASC NULLS LAST, len_name ASC NULLS LAST, yr ASC NULLS LAST,
+      |  mo ASC NULLS LAST, rp ASC NULLS LAST, ad ASC NULLS LAST, rl ASC NULLS LAST""".stripMargin
+
+  /** Q23a array higher-order functions over ArrayType(FloatType) — the
+    * full-type surface the reference's columnar path lacks
+    * (celeborn: CelebornColumnarBatchBuilder.scala:35-46 falls back on arrays). */
+  private def q23a(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("vsum"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("v1"))
+      .orderBy(col("vec_id").asc_nulls_last)
+
+  private val q23aSql =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  round((SELECT SUM(CAST(u.x AS DOUBLE)) FROM unnest(embedding) AS u(x)), 4) AS vsum,
+      |  round(CAST(embedding[1] AS DOUBLE), 4) AS v1
+      |FROM embeddings ORDER BY vec_id ASC NULLS LAST""".stripMargin
+
+  /** Q23b JSON extraction over events.props. */
+  private def q23b(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_last, col("k").asc_nulls_last,
+        col("n").asc_nulls_last)
+
+  private val q23bSql =
+    """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+      |FROM events GROUP BY event_type, k
+      |ORDER BY event_type ASC NULLS LAST, k ASC NULLS LAST, n ASC NULLS LAST""".stripMargin
+
+  // -----------------------------------------------------------------------
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_scan_filter", q01, Some(q01Sql)),
+    QueryDef("q02_sink_roundtrip", q02, Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
+    QueryDef("q03_repartition_hash", q03, Some(q03Sql)),
+    QueryDef("q04_repartition_rr", q04, Some(q04Sql)),
+    QueryDef("q05_orderby_range", q05, Some(q05Sql)),
+    QueryDef("q06_groupby_count", q06, Some(q06Sql)),
+    QueryDef("q07_tpch_q1", q07, Some(q07Sql)),
+    QueryDef("q08_combine_avg", q08, Some(q08Sql)),
+    QueryDef("q09_distinct_agg", q09, Some(q09Sql)),
+    QueryDef("q10_rollup", q10, Some(q10Sql)),
+    QueryDef("q11_approx_distinct", q11, None),
+    QueryDef("q12_join_sortmerge", q12, Some(q12Sql)),
+    QueryDef("q13_join_broadcast", q13, Some(q13Sql)),
+    QueryDef("q14_join_outer", q14, Some(q14Sql)),
+    QueryDef("q15_join_semi_anti", q15, Some(q15Sql)),
+    QueryDef("q16_join_skew", q16, Some(q16Sql)),
+    QueryDef("q17_join_theta", q17, Some(q17Sql)),
+    QueryDef("q18_window_rank", q18, Some(q18Sql)),
+    QueryDef("q19_window_frame", q19, Some(q19Sql)),
+    QueryDef("q20_topk", q20, Some(q20Sql)),
+    QueryDef("q21_setops", q21, Some(q21Sql)),
+    QueryDef("q22_scalar_funcs", q22, Some(q22Sql)),
+    QueryDef("q23_array_funcs", q23a, Some(q23aSql)),
+    QueryDef("q23_json_funcs", q23b, Some(q23bSql)))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("registry names are unique and every oracle key is a query") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q11 approx distinct within 5% of exact") {
+    val row = SparkEntry.queries("q11_approx_distinct")(spark, sf).collect()(0)
+    val approxPart = row.getAs[Long]("approx_part")
+    val exact = Tables.t(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(math.abs(approxPart - exact).toDouble / exact < 0.05,
+      s"approx=$approxPart exact=$exact")
+  }
+
+  test("q01 pushes filter and projection into the parquet scan") {
+    val plan = SparkEntry.queries("q01_scan_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"missing pushdown in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection not pruned in:\n$plan")
+  }
+
+  test("q13 plans a broadcast join (no shuffle of the dim side)") {
+    val plan = SparkEntry.queries("q13_join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q20 top-k uses TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q20_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+}
