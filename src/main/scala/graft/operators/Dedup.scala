@@ -1,8 +1,226 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** G7 deduplication operators (filled in incrementally). */
+/** G7 deduplication operators over the `documents` table.
+  *
+  * Exact dedup is a hash group-by (exchange + first-agg — the reference's
+  * dedup-set machinery writ large,
+  * celeborn: client/src/main/java/org/apache/celeborn/client/read/CelebornInputStream.java:864-899).
+  * Near-dup is MinHash+LSH (band-bucket join — no O(n²) pair scan),
+  * an exact inverted-index n-gram Jaccard join, and SimHash with
+  * pigeonhole band blocking. All hashes are derived from md5 so the
+  * DuckDB oracle can replay them; no RNG anywhere.
+  *
+  * Scale notes: every operator is a sequence of hash-partitioned
+  * exchanges on bounded keys (shingle, band bucket) — no driver
+  * collection, no cross join. Hot-shingle pair blowup at 100 TB is
+  * bounded by a document-frequency cap on the posting lists (the same
+  * lesson as celeborn's skew split, CelebornPartitionUtil.java:60-100).
+  */
 object Dedup {
-  def defs: Seq[QueryDef] = Seq()
+
+  /** Word 3-gram shingle set per document (empty for docs < 3 tokens). */
+  private[operators] def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(when(size(split(col("text"), " ")) >= 3,
+        expr("transform(sequence(0, size(split(text, ' ')) - 3), " +
+          "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), " +
+          "element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3)))"))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+      .distinct()
+
+  /** Exact dedup: per-language doc counts, distinct texts, duplicates. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_uniq"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dups"))
+      .orderBy(col("lang").asc_nulls_last)
+
+  private val q26Sql =
+    """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_uniq,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_dups
+      |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  /** MinHash signatures (12 md5-string min-hashes) + LSH banding
+    * (6 bands × 2 rows) + exact-Jaccard verification of candidates.
+    * Lexicographic min over md5(k:shingle) is a valid min-hash family;
+    * string min keeps the whole pipeline replayable in SQL. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(Tables.t(s, dir, "documents")).cache()
+    val nHashes = 12
+    val mins: Seq[Column] = (0 until nHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"m$k"))
+    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // 6 bands of 2 rows each: band key = md5(m_{2b} || m_{2b+1})
+    val bands = (0 until 6).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bk"))
+    }.reduce(_ unionAll _)
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("shs").as("sh1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shs").as("sh2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jac"))
+      .where(col("jac") >= 0.8)
+      .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last, col("jac").asc_nulls_last)
+  }
+
+  /** Brute-force oracle: the planted near-dups sit at j≈0.99 with a wide
+    * gap below 0.2, so 6×2 banding has miss probability < 1e-10 and the
+    * LSH result equals the exhaustive result on this data. */
+  private val q27Sql =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |    FOR i IN range(1, len(s) - 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) AS jac
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.8
+      |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, jac ASC NULLS LAST""".stripMargin
+
+  /** Exact n-gram Jaccard via inverted-index join on word trigrams: no
+    * candidate misses, no O(n²). At 100 TB the posting lists get a
+    * document-frequency cap (stop-shingle removal) to bound hot-key
+    * pair fan-out; unnecessary at test vocab (trigram df ≈ 1). */
+  private def q28ngram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(Tables.t(s, dir, "documents")).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("p1").join(sh.as("p2"),
+        col("p1.sh") === col("p2.sh") && col("p1.doc_id") < col("p2.doc_id"))
+      .groupBy(col("p1.doc_id").as("d1"), col("p2.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jac"))
+      .where(col("jac") >= 0.5)
+      .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last, col("jac").asc_nulls_last)
+  }
+
+  private val q28ngramSql =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |    FOR i IN range(1, len(s) - 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) AS jac
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5
+      |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, jac ASC NULLS LAST""".stripMargin
+
+  /** SimHash near-dup: 60-bit token-frequency simhash; pairs blocked on
+    * 10×6-bit bands — with hamming ≤ 9 at least one band is untouched
+    * (pigeonhole), so band blocking is lossless for the ≤8 threshold,
+    * not probabilistic. (One-token edits flip up to ~6 bits of a 60-bit
+    * simhash on short docs, so a tighter threshold under-recalls.) */
+  private def q28simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val sims = simhash(docs).cache()
+    val bands = (0 until 10).map { b =>
+      sims.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        expr(s"(simhash div ${1L << (6 * b)}) % 64").as("bk"))
+    }.reduce(_ unionAll _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 8)
+      .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last,
+        col("hamming").asc_nulls_last)
+  }
+
+  /** 60-bit simhash per doc from token counts; token hash = first 15 hex
+    * chars of md5 (60 bits, positive). Tie (bit-sum 0) → bit 0. */
+  private[operators] def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(expr("sequence(0, 59)")).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(expr("cnt * (2 * ((h div cast(pow(2, i) as bigint)) % 2) - 1)")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("cast(pow(2, i) as bigint)")).otherwise(lit(0L))).as("simhash"))
+
+  private val q28simhashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok),
+      |th AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tc),
+      |bits AS (
+      |  SELECT doc_id, i.i AS i,
+      |    SUM(cnt * (2 * ((h // CAST(pow(2, i.i) AS BIGINT)) % 2) - 1)) AS s
+      |  FROM th, range(0, 60) i(i) GROUP BY doc_id, i.i),
+      |sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, hamming ASC NULLS LAST""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (exact pair scan at test scale; the
+    * LSH-bucketed scale path lives in Similarity.annLsh). Dot products
+    * are sequential double folds — bit-identical to the oracle's. */
+  private def q28embed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cos = graft.functions.VectorOps.cosineExpr("x.embedding", "y.embedding")
+    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), cos.as("cos"))
+      .where(col("cos") >= 0.45)
+      .orderBy(col("v1").asc_nulls_last, col("v2").asc_nulls_last, col("cos").asc_nulls_last)
+  }
+
+  private val q28embedSql =
+    s"""SELECT v1, v2, cos FROM (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |    ${VectorSql.cosine("a.embedding", "b.embedding")} AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+       |WHERE cos >= 0.45
+       |ORDER BY v1 ASC NULLS LAST, v2 ASC NULLS LAST, cos ASC NULLS LAST""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q26_dedup_exact", q26, Some(q26Sql)),
+    QueryDef("q27_dedup_minhash", q27, Some(q27Sql)),
+    QueryDef("q27_dedup_ngram", q28ngram, Some(q28ngramSql)),
+    QueryDef("q28_dedup_simhash", q28simhash, Some(q28simhashSql)),
+    QueryDef("q28_dedup_embed", q28embed, Some(q28embedSql)))
+}
+
+/** Shared DuckDB SQL fragments for vector math (oracle side). */
+object VectorSql {
+  /** Embedding dimensionality of the fixture tables (FIXTURES.md).
+    * DuckDB 1.0 cannot laterally parameterize range() with len(col),
+    * so the oracle uses the constant dimension. */
+  val Dim = 64
+
+  /** Sequential double dot product via ordinal list access — the same
+    * left-to-right fold Spark's `aggregate` performs, so results are
+    * bit-identical. */
+  def dot(a: String, b: String): String =
+    s"(SELECT SUM(CAST($a[i.i] AS DOUBLE) * CAST($b[i.i] AS DOUBLE)) FROM range(1, ${Dim + 1}) i(i))"
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 }

@@ -1,8 +1,111 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** G7 similarity-search operators (filled in incrementally). */
+/** G7 similarity search over the `embeddings` table.
+  *
+  * Brute-force cosine top-k is the correctness baseline (and is exact);
+  * the scale path is random-hyperplane LSH bucketing, which turns the
+  * all-pairs scan into a bucket-local search — the bucket id is a
+  * deterministic 8-bit signature, so the whole pipeline remains
+  * replayable.
+  *
+  * Scale notes: at 100 TB the query side is broadcast (queries are few),
+  * the corpus side stays partitioned; top-k per query uses a ranking
+  * window over (query, candidate) — partial top-k per partition via
+  * AQE/codegen, never a driver collect.
+  */
 object Similarity {
-  def defs: Seq[QueryDef] = Seq()
+
+  private val K = 5
+
+  /** Brute-force exact ANN: top-5 cosine neighbours for each of the 10
+    * query vectors (vec_id < 10), ties broken by vec_id. */
+  private def q29brute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineExpr("q_emb", "embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  private val q29bruteSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, ${VectorSql.cosine("q.q_emb", "e.embedding")} AS cos
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= $K
+       |ORDER BY q_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived integer mapped to [-1000, 1000]. */
+  private[operators] def planeComponent(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$p:$d".getBytes("UTF-8"))
+      .take(7).map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(hex, 16)
+    ((v % 2001L) - 1000L).toDouble
+  }
+
+  private val Tables_ = 6 // independent hash tables (OR-construction)
+  private val BitsPerTable = 6
+
+  /** LSH-bucketed ANN (the scale path): a multi-table OR-construction of
+    * hyperplane-sign signatures — each vector is indexed under one
+    * 6-bit bucket per table, and a query searches the union of its 6
+    * buckets (~9 % of the corpus here vs 100 % for brute force).
+    * Approximate by construction — covered by LlmOpsSpec's recall
+    * assertion against q29_ann_brute, not by a SQL oracle. */
+  private def q29lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val nPlanes = Tables_ * BitsPerTable
+    // planes as a literal array-of-arrays column: planes[p][d]
+    val planes = array((0 until nPlanes).map(p =>
+      array((0 until 64).map(d => lit(planeComponent(p, d))): _*)): _*)
+    // one row per (vector, table): bucket = sign bits of that table's planes
+    def indexed(df: DataFrame): DataFrame = df
+      .withColumn("planes", planes)
+      .withColumn("tbl", explode(expr(s"sequence(0, ${Tables_ - 1})")))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(tbl * $BitsPerTable, tbl * $BitsPerTable + ${BitsPerTable - 1}),
+           |  0L, (acc, p) ->
+           |  acc * 2 + if(aggregate(zip_with(embedding, element_at(planes, p + 1),
+           |    (x, h) -> cast(x as double) * h), cast(0.0 as double), (a, v) -> a + v) >= 0, 1L, 0L))""".stripMargin))
+      .drop("planes")
+    val corpus = indexed(e)
+    val queries = indexed(e.where(col("vec_id") < 10))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
+    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .distinct() // a pair may collide in several tables
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineExpr("q_emb", "embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q29_ann_brute", q29brute, Some(q29bruteSql)),
+    QueryDef("q29_ann_lsh", q29lsh, None))
 }
