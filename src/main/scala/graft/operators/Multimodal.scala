@@ -1,8 +1,106 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Multimodal binary-column pipeline (filled in incrementally). */
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with typed metadata — the
+  * engine's job at 100 TB is partitioning, batching and schema
+  * discipline, not codec work. The container has no image/audio
+  * libraries, so `decodeFrame` below is a clearly-marked deterministic
+  * STUB; the Spark-side plumbing (schema, per-partition batch iteration,
+  * feature extraction shape) is real and tested in MultimodalSpec.
+  *
+  * The fixture media table is synthesized deterministically from
+  * `documents` (payload = UTF-8 bytes of `text`), so the metadata query
+  * has a DuckDB oracle like any other operator.
+  */
 object Multimodal {
-  def defs: Seq[QueryDef] = Seq()
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      doc_id: Long,
+      payload: Array[Byte],
+      media_type: String,
+      width: Int,
+      height: Int)
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      brightness: Double,
+      n_frames: Int)
+
+  /** Deterministic media table derived from `documents`. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+      (lit(16) + col("doc_id") % 48).cast("int").as("height"))
+
+  /** STUB decoder — stands in for an image/audio codec (none in this
+    * container). Deterministic: "brightness" is the mean byte value,
+    * "frames" a fixed chunking of the payload. A real deployment swaps
+    * only this function; the distributed plumbing is unchanged. */
+  def decodeFrame(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    val brightness =
+      if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length / 255.0
+    MediaFeatures(r.doc_id, bytes.length, r.width, r.height,
+      brightness, bytes.length / 64 + 1)
+  }
+
+  /** Typed per-partition decode pipeline: the batch shape a Pandas-UDF /
+    * mapInPandas stage would have — one iterator per partition, records
+    * decoded in partition order, no driver involvement. */
+  def decodePipeline(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRecord]
+      .mapPartitions(_.map(decodeFrame))
+  }
+
+  /** Metadata + checksum query (oracle-checked): the SQL-visible face of
+    * the media table. */
+  private def q34meta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).select(
+      col("doc_id"), col("media_type"), col("width"), col("height"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("checksum"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  private val q34metaSql =
+    """SELECT doc_id,
+      |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(16 + doc_id % 64 AS INT) AS width,
+      |  CAST(16 + doc_id % 48 AS INT) AS height,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  /** Decoded-feature aggregate per media type (runs the stub decoder
+    * through the typed pipeline; no SQL oracle — covered by
+    * MultimodalSpec against a local recomputation). */
+  private def q34decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodePipeline(s, dir)
+      .join(mediaTable(s, dir).select(col("doc_id"), col("media_type")), "doc_id")
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_frames")).as("total_frames"),
+        graft.Canon.dsum(col("brightness"), 9).as("sum_brightness"))
+      .orderBy(col("media_type").asc_nulls_last)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q34_media_meta", q34meta, Some(q34metaSql)),
+    QueryDef("q34_media_decode", q34decode, None))
 }

@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** True Structured-Streaming semantics for G6: the batch-equivalent
+  * queries (q24/q25, DuckDB-oracle-checked) are ground truth; here the
+  * same aggregations run through MemoryStream with watermarks, verifying
+  * incremental emission and late-data dropping.
+  */
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class UEv(ts: Timestamp, user_id: Long)
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // aligned to a 10-minute window boundary (1700000400000 % 600000 == 0)
+  private val Base = 1700000400000L
+
+  private def t(minutes: Long): Timestamp =
+    new Timestamp(Base + minutes * 60000L)
+
+  test("tumbling window over a stream matches the batch equivalent") {
+    import spark.implicits._
+    val events = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+
+    val stream = MemoryStream[Ev](spark, 1)
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past all windows
+      stream.addData(Ev(new Timestamp(events.map(_.ts.getTime).max + 86400000L), "zz", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .where(col("event_type") =!= "zz")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q24_window_tumbling")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} windows vs batch ${batch.size}")
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark, 2)
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // window [0,10): two on-time events; watermark advances to 80-10=70
+      stream.addData(Ev(t(0), "a", 1.0), Ev(t(9), "a", 1.0), Ev(t(80), "b", 1.0))
+      q.processAllAvailable()
+      // late arrival for the long-closed [0,10) window → dropped
+      stream.addData(Ev(t(5), "a", 1.0))
+      q.processAllAvailable()
+      // flush remaining windows
+      stream.addData(Ev(t(600), "zz", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_out")
+      .collect().map(r =>
+        ((r.getTimestamp(0).getTime - Base) / 60000L, r.getString(1)) ->
+          r.getLong(2)).toMap
+    assert(out((0L, "a")) == 2L, s"late row must not count: $out")
+  }
+
+  test("session window over a stream matches the batch equivalent") {
+    import spark.implicits._
+    val events = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("user_id")).as[(Timestamp, Long)]
+      .collect().toSeq.map { case (ts, u) => UEv(ts, u) }
+
+    val stream = MemoryStream[UEv](spark, 3)
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n_events"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      stream.addData(UEv(new Timestamp(events.map(_.ts.getTime).max + 86400000L), -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("session_out")
+      .where(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q25_window_session")(spark, sf)
+      .select(col("user_id"), col("s_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} sessions vs batch ${batch.size}")
+  }
+}
