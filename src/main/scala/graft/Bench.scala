@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,16 +38,23 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // A failed query reports -1.0 and is EXCLUDED from the headline total
+    // (and listed under "failed") rather than silently corrupting it; a
+    // failed warm-up skips the timed runs entirely.
     val results = names.map { name =>
-      once(name) // warm-up (also JIT + file-footer caches)
-      val times = (1 to runs).map(_ => once(name)).sorted
-      val median = times(times.size / 2)
-      name -> median
+      val warm = once(name) // warm-up (also JIT + file-footer caches)
+      if (warm < 0) name -> -1.0
+      else {
+        val times = (1 to runs).map(_ => once(name)).sorted
+        name -> times(times.size / 2)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (ok, bad) = results.partition(_._2 >= 0)
+    val total = ok.map(_._2).sum
+    val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,12 +16,19 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate to
-    * microseconds — the same truncation DuckDB applies, keeping oracle
-    * parity. */
+  /** Fixture quirk: `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which
+    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) unless this session
+    * conf is set. It must be set at session CONSTRUCTION (Bench, Verify,
+    * and test builders all do) — schema inference consults only the
+    * session conf, so a per-read option cannot express it, and mutating
+    * the conf inside a table loader would leak global state. */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Read `ts` as raw nanos and truncate to microseconds — the same
+    * truncation DuckDB applies, keeping oracle parity. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get(NanosConf, "false") == "true",
+      s"reading `events` requires $NanosConf=true at session construction")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(

@@ -52,7 +52,12 @@ object Dedup {
     * Lexicographic min over md5(k:shingle) is a valid min-hash family;
     * string min keeps the whole pipeline replayable in SQL. */
   private def q27(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(Tables.t(s, dir, "documents")).cache()
+    // No .cache(): a builder returns a lazy plan, so an unpersist could
+    // only run before materialization; a leaked cache accumulates executor
+    // memory across the 30-query Verify/Bench sweep. Recomputing the
+    // shingle scan is cheap relative to the joins; callers that iterate
+    // can persist+unpersist around their own materialization.
+    val sh = shingled(Tables.t(s, dir, "documents"))
     val nHashes = 12
     val mins: Seq[Column] = (0 until nHashes).map(k =>
       min(md5(concat(lit(s"$k:"), col("sh")))).as(s"m$k"))
@@ -97,7 +102,8 @@ object Dedup {
     * document-frequency cap (stop-shingle removal) to bound hot-key
     * pair fan-out; unnecessary at test vocab (trigram df ≈ 1). */
   private def q28ngram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(Tables.t(s, dir, "documents")).cache()
+    val sh = shingled(Tables.t(s, dir, "documents")) // no .cache(): see q27
+
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("p1").join(sh.as("p2"),
         col("p1.sh") === col("p2.sh") && col("p1.doc_id") < col("p2.doc_id"))
@@ -130,7 +136,7 @@ object Dedup {
     * simhash on short docs, so a tighter threshold under-recalls.) */
   private def q28simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
-    val sims = simhash(docs).cache()
+    val sims = simhash(docs) // no .cache(): see q27
     val bands = (0 until 10).map { b =>
       sims.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         expr(s"(simhash div ${1L << (6 * b)}) % 64").as("bk"))

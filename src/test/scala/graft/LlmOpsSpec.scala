@@ -25,7 +25,8 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val jac = SparkEntry.queries("q27_dedup_minhash")(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // simhash(hamming<=3) should recover nearly all j>=0.98 planted pairs
+    // simhash(hamming<=8) — the 10x6-bit pigeonhole bound documented in
+    // Dedup.scala — should recover nearly all j>=0.98 planted pairs
     val recall = jac.count(sim.contains).toDouble / math.max(jac.size, 1)
     assert(recall >= 0.9, s"simhash recall $recall over ${jac.size} pairs")
   }
