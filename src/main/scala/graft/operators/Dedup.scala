@@ -192,7 +192,7 @@ object Dedup {
   private def q28embed(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val cos = graft.functions.VectorOps.cosineExpr("x.embedding", "y.embedding")
+    val cos = graft.functions.VectorOps.cosineFast(s, "x.embedding", "y.embedding")
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), cos.as("cos"))
       .where(col("cos") >= 0.45)

@@ -51,6 +51,26 @@ object Relational {
     s.read.parquet(out).agg(count(lit(1)).as("n"))
   }
 
+  /** Q02 variants: the same round-trip through the other first-class
+    * columnar/row sinks (ORC, CSV, JSON) — "multi-format" per SURVEY §2B
+    * G1. Count-only check: the content check is Q02's parquet hash. */
+  private def q02fmt(fmt: String)(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_q02_$fmt"
+    val w = q01(s, dir).write.mode("overwrite")
+    val r = s.read
+    fmt match {
+      case "orc"  => w.orc(out)
+      case "csv"  => w.option("header", "true").csv(out)
+      case "json" => w.json(out)
+    }
+    val back = fmt match {
+      case "orc"  => r.orc(out)
+      case "csv"  => r.option("header", "true").csv(out)
+      case "json" => r.json(out)
+    }
+    back.agg(count(lit(1)).as("n"))
+  }
+
   // ---- G2: repartition / exchange ---------------------------------------
 
   /** Q03 hash repartition is content-preserving: grouped checksum after
@@ -432,6 +452,9 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_filter", q01, Some(q01Sql)),
     QueryDef("q02_sink_roundtrip", q02, Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
+    QueryDef("q02_sink_orc", q02fmt("orc"), Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
+    QueryDef("q02_sink_csv", q02fmt("csv"), Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
+    QueryDef("q02_sink_json", q02fmt("json"), Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
     QueryDef("q03_repartition_hash", q03, Some(q03Sql)),
     QueryDef("q04_repartition_rr", q04, Some(q04Sql)),
     QueryDef("q05_orderby_range", q05, Some(q05Sql)),

@@ -33,7 +33,7 @@ object Similarity {
       .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        VectorOps.cosineExpr("q_emb", "embedding").as("cos"))
+        VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
@@ -98,7 +98,60 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
       .distinct() // a pair may collide in several tables
       .select(col("q_id"), col("vec_id"),
-        VectorOps.cosineExpr("q_emb", "embedding").as("cos"))
+        VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  private val Centroids = 16
+  private val NProbe = 4
+
+  /** IVF-flat ANN (the other scale path): a coarse quantizer of 16
+    * deterministic centroids (the corpus vectors with the smallest
+    * md5(vec_id) — seed-free and replayable); every corpus vector is
+    * indexed under its nearest centroid, a query probes its 4 nearest
+    * centroid lists and ranks exactly within them.
+    *
+    * Scale shape: the centroid table is tiny and broadcast; assignment is
+    * one broadcast-join pass over the corpus (the posting lists would be
+    * written bucket-partitioned at build time); the probe touches
+    * NProbe/Centroids of the data instead of all of it. Approximate by
+    * construction — recall vs q29_ann_brute asserted in LlmOpsSpec. */
+  private def q29ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cent = e
+      .withColumn("r", md5(col("vec_id").cast("string")))
+      .orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
+      .limit(Centroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val sim = VectorOps.cosineFast(s, "c_emb", "embedding")
+    // nearest centroid per corpus vector (rank over the 16 broadcast rows)
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc_nulls_last, col("c_id").asc_nulls_last)
+    val assigned = e.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("embedding"), col("c_id"), sim.as("c_sim"))
+      .withColumn("crank", row_number().over(wa))
+      .where(col("crank") <= 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"))
+    // queries probe their NProbe nearest centroid lists
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_sim").desc_nulls_last, col("c_id").asc_nulls_last)
+    val probes = queries.join(broadcast(cent), lit(true))
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+        VectorOps.cosineFast(s, "c_emb", "q_emb").as("q_sim"))
+      .withColumn("qrank", row_number().over(wq))
+      .where(col("qrank") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
@@ -107,5 +160,6 @@ object Similarity {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ann_brute", q29brute, Some(q29bruteSql)),
-    QueryDef("q29_ann_lsh", q29lsh, None))
+    QueryDef("q29_ann_lsh", q29lsh, None),
+    QueryDef("q29_ann_ivf", q29ivf, None))
 }

@@ -137,8 +137,30 @@ object TextAnalysis {
       |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
       |FROM f ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** BPE-style pre-tokenizer counting: tokens are maximal runs of
+    * letters, digits, or single punctuation marks (the GPT-2 pre-tokenizer
+    * shape, simplified to a regex both engines execute identically), with
+    * per-language totals + distinct-token vocab size. */
+  private def tokenRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab"))
+      .orderBy(col("lang").asc_nulls_last)
+
+  private val tokenRegexSql =
+    """WITH tok AS (SELECT lang,
+      |  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab
+      |FROM tok GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_token_counts", tokenCounts, Some(tokenCountsSql)),
+    QueryDef("q29_token_regex", tokenRegex, Some(tokenRegexSql)),
     QueryDef("q31_text_stats", textStats, Some(textStatsSql)),
     QueryDef("q32_lang_id", langId, Some(langIdSql)),
     QueryDef("q33_fingerprint", fingerprint, Some(fingerprintSql)))

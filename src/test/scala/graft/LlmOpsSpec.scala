@@ -45,6 +45,20 @@ class LlmOpsSpec extends AnyFunSuite {
       "LSH ANN must be deterministic")
   }
 
+  test("ivf ann achieves reasonable recall@5 vs brute force and is deterministic") {
+    val brute = SparkEntry.queries("q29_ann_brute")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = SparkEntry.queries("q29_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // probing 4/16 lists of near-orthogonal synthetic vectors: modest
+    // recall expected; guards determinism and gross regressions
+    assert(recall >= 0.2, s"recall@5 $recall")
+    assert(ivf == SparkEntry.queries("q29_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet,
+      "IVF ANN must be deterministic")
+  }
+
   test("fingerprint duplicates match exact text duplicates") {
     val fp = SparkEntry.queries("q33_fingerprint")(spark, sf)
       .where("n_same > 1").select("doc_id").collect().map(_.getLong(0)).toSet
