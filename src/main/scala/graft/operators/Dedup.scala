@@ -62,11 +62,15 @@ object Dedup {
     val mins: Seq[Column] = (0 until nHashes).map(k =>
       min(md5(concat(lit(s"$k:"), col("sh")))).as(s"m$k"))
     val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // 6 bands of 2 rows each: band key = md5(m_{2b} || m_{2b+1})
-    val bands = (0 until 6).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bk"))
-    }.reduce(_ unionAll _)
+    // 6 bands of 2 rows each: band key = md5(m_{2b} || m_{2b+1}).
+    // One explode pass, NOT a 6-way unionAll — union branches re-execute
+    // the whole signature aggregation per band.
+    val bandStructs = array((0 until 6).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bk"))): _*)
+    val bands = sigs
+      .select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -137,10 +141,15 @@ object Dedup {
   private def q28simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     val sims = simhash(docs) // no .cache(): see q27
-    val bands = (0 until 10).map { b =>
-      sims.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        expr(s"(simhash div ${1L << (6 * b)}) % 64").as("bk"))
-    }.reduce(_ unionAll _)
+    // one explode pass over 10 band structs (not a 10-way unionAll, which
+    // would re-run the simhash aggregation per band)
+    val bandStructs = array((0 until 10).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"(simhash div ${1L << (6 * b)}) % 64").as("bk"))): _*)
+    val bands = sims
+      .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -153,19 +162,26 @@ object Dedup {
   }
 
   /** 60-bit simhash per doc from token counts; token hash = first 15 hex
-    * chars of md5 (60 bits, positive). Tie (bit-sum 0) → bit 0. */
-  private[operators] def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    * chars of md5 (60 bits, positive). Tie (bit-sum 0) → bit 0.
+    *
+    * One hash-aggregate with 60 per-bit sum columns instead of a 60×
+    * row-explode: bit-sum_i = Σ cnt·(2·bit_i(h)−1) = 2·Σ cnt·bit_i(h) − Σ cnt,
+    * all exact integer math — identical to the oracle's explode
+    * formulation but without multiplying the token rows. */
+  private[operators] def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), col("cnt"),
         expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(expr("sequence(0, 59)")).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(expr("cnt * (2 * ((h div cast(pow(2, i) as bigint)) % 2) - 1)")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("cast(pow(2, i) as bigint)")).otherwise(lit(0L))).as("simhash"))
+    val sums: Seq[Column] = (0 until 60).map(i =>
+      sum(expr(s"cnt * ((h div ${1L << i}) % 2)")).as(s"s$i")) :+
+      sum(col("cnt")).as("total")
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        expr((0 until 60).map(i => s"if(2 * s$i - total > 0, ${1L << i}L, 0L)")
+          .mkString(" + ")).as("simhash"))
+  }
 
   private val q28simhashSql =
     """WITH tok AS (

@@ -83,6 +83,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out((0L, "a")) == 2L, s"late row must not count: $out")
   }
 
+  test("flatMapGroupsWithState sessionization matches the session_window oracle") {
+    import spark.implicits._
+    import graft.streaming.SessionState
+    import graft.streaming.SessionState.UserEvent
+    val events = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[UserEvent].collect().toSeq
+
+    val stream = MemoryStream[UserEvent](spark, 4)
+    val q = SessionState.sessionize(spark, stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgws_out").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      // push the watermark past every open session so timeouts fire
+      stream.addData(UserEvent(
+        new Timestamp(events.map(_.ts.getTime).max + 86400000L), -1L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("fmgws_out")
+      .where(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val batch = SparkEntry.queries("q25_window_session")(spark, sf)
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"custom-state sessions ${streamed.size} vs session_window ${batch.size}; " +
+        s"only-streamed=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+  }
+
   test("session window over a stream matches the batch equivalent") {
     import spark.implicits._
     val events = Tables.t(spark, sf, "events")
