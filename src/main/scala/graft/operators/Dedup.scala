@@ -22,14 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word 3-gram shingle set per document (empty for docs < 3 tokens). */
-  private[operators] def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(when(size(split(col("text"), " ")) >= 3,
-        expr("transform(sequence(0, size(split(text, ' ')) - 3), " +
-          "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), " +
-          "element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3)))"))
-        .otherwise(array().cast("array<string>"))).as("sh"))
+  /** Word 3-gram shingle set per document (empty for docs < 3 tokens).
+    * The token array is materialized ONCE per row in its own projection —
+    * putting `split(text)` inside the transform lambda re-tokenizes the
+    * whole document per element_at (O(tokens²) interpreted work; higher-
+    * order functions are not codegen'd), which dominated the dedup
+    * queries' runtime. */
+  private[graft] def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"))
+          .otherwise(array().cast("array<string>"))).as("sh"))
       .distinct()
 
   /** Exact dedup: per-language doc counts, distinct texts, duplicates. */
@@ -168,7 +173,7 @@ object Dedup {
     * row-explode: bit-sum_i = Σ cnt·(2·bit_i(h)−1) = 2·Σ cnt·bit_i(h) − Σ cnt,
     * all exact integer math — identical to the oracle's explode
     * formulation but without multiplying the token rows. */
-  private[operators] def simhash(docs: DataFrame): DataFrame = {
+  private[graft] def simhash(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
