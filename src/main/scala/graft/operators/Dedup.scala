@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * celeborn: client/src/main/java/org/apache/celeborn/client/read/CelebornInputStream.java:864-899).
   * Near-dup is MinHash+LSH (band-bucket join — no O(n²) pair scan),
   * an exact inverted-index n-gram Jaccard join, and SimHash with
-  * pigeonhole band blocking. All hashes are derived from md5 so the
-  * DuckDB oracle can replay them; no RNG anywhere.
+  * pigeonhole band blocking. SimHash bit hashes are md5-derived so the
+  * DuckDB oracle can replay them; MinHash uses codegen'd xxhash64 (the
+  * oracle verifies its candidates by exact Jaccard, not by replaying
+  * the family). No RNG anywhere — fixed seeds, deterministic output.
   *
   * Scale notes: every operator is a sequence of hash-partitioned
   * exchanges on bounded keys (shingle, band bucket) — no driver
@@ -63,17 +65,27 @@ object Dedup {
     // shingle scan is cheap relative to the joins; callers that iterate
     // can persist+unpersist around their own materialization.
     val sh = shingled(Tables.t(s, dir, "documents"))
+    // xxhash64(seed, shingle) is a codegen'd bigint hash — an order of
+    // magnitude cheaper than the md5-string family (the oracle verifies
+    // candidates by exact Jaccard, so the min-hash family is internal
+    // and only its min-wise property matters).
     val nHashes = 12
     val mins: Seq[Column] = (0 until nHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"m$k"))
-    val sigs = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // 6 bands of 2 rows each: band key = md5(m_{2b} || m_{2b+1}).
+      min(xxhash64(lit(k), col("sh"))).as(s"m$k"))
+    // ONE aggregation pass computes both the 12 min-hashes and the full
+    // shingle set per doc: the three downstream consumers (bands, d1-sets,
+    // d2-sets) then share an identical agg subplan, which ReuseExchange
+    // dedups into a single scan+distinct+shuffle instead of re-running
+    // the shingle scan per branch.
+    val aggAll = sh.groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+ collect_set(col("sh")).as("shs")): _*)
+    // 6 bands of 2 rows each: band key = xxhash64(m_{2b}, m_{2b+1}).
     // One explode pass, NOT a 6-way unionAll — union branches re-execute
     // the whole signature aggregation per band.
     val bandStructs = array((0 until 6).map(b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bk"))): _*)
-    val bands = sigs
+        xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bk"))): _*)
+    val bands = aggAll
       .select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
     val cands = bands.as("x").join(bands.as("y"),
@@ -81,7 +93,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
+    val sets = aggAll.select(col("doc_id"), col("shs"))
     cands
       .join(sets.select(col("doc_id").as("d1"), col("shs").as("sh1")), "d1")
       .join(sets.select(col("doc_id").as("d2"), col("shs").as("sh2")), "d2")
@@ -114,9 +126,18 @@ object Dedup {
     val sh = shingled(Tables.t(s, dir, "documents")) // no .cache(): see q27
 
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("p1").join(sh.as("p2"),
-        col("p1.sh") === col("p2.sh") && col("p1.doc_id") < col("p2.doc_id"))
-      .groupBy(col("p1.doc_id").as("d1"), col("p2.doc_id").as("d2"))
+    // Posting-list pair generation instead of a shingle self-join: one
+    // array per distinct shingle, pairs by double-explode. The self-join
+    // would run the shingle scan+distinct once per branch; here the
+    // distinct's exchange is shared with `sizes` (ReuseExchange) and the
+    // pair stream stays inside one codegen stage. Posting lists are the
+    // df-capped structure the 100 TB note above refers to.
+    val postings = sh.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ds"))
+    val inter = postings
+      .select(explode(col("ds")).as("da"), col("ds"))
+      .select(col("da"), explode(col("ds")).as("db"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da").as("d1"), col("db").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
@@ -146,8 +167,10 @@ object Dedup {
   private def q28simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.t(s, dir, "documents")
     val sims = simhash(docs) // no .cache(): see q27
-    // one explode pass over 10 band structs (not a 10-way unionAll, which
-    // would re-run the simhash aggregation per band)
+    // 10×6-bit pigeonhole bands (hamming ≤ 9 leaves ≥ 1 band untouched,
+    // so blocking is lossless for the ≤ 8 threshold); one explode pass,
+    // not a 10-way unionAll. The two self-join branches are identical
+    // plans, so ReuseExchange computes the simhash aggregation once.
     val bandStructs = array((0 until 10).map(b =>
       struct(lit(b).as("band"),
         expr(s"(simhash div ${1L << (6 * b)}) % 64").as("bk"))): _*)
@@ -155,13 +178,27 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
+    // Bucket-local pair generation instead of a band self-join: group
+    // each (band, bucket) into one array and double-explode it. A self-
+    // join would compute the simhash aggregation once per branch; this
+    // shape computes it ONCE, shuffles only ndocs×10 small rows, and the
+    // quadratic candidate stream lives entirely inside one codegen stage
+    // (generated, hamming-filtered, discarded — never shuffled). Same-
+    // language simhashes are correlated, so buckets are crowded at any
+    // blocking width (~n²/64 per band; pair-band and distinct-value
+    // variants measured no better). At cluster scale a hot bucket is
+    // one task's array — past ~10⁵ members it would need salted
+    // sub-splitting (the skew-split lesson, CelebornPartitionUtil.java:60-100).
+    val buckets = bands.groupBy(col("band"), col("bk"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+    buckets
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .where(col("x.doc_id") < col("y.doc_id") &&
+        expr("bit_count(x.simhash ^ y.simhash)") <= 8)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
-      .where(col("hamming") <= 8)
       .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last,
         col("hamming").asc_nulls_last)
   }
