@@ -24,6 +24,7 @@ object Registry {
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
+      operators.Pipeline.defs ++
       streaming.EventWindows.defs ++
       operators.Udfs.defs
 }

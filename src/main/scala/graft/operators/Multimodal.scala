@@ -100,7 +100,56 @@ object Multimodal {
       .orderBy(col("media_type").asc_nulls_last)
   }
 
+  /** Resized/frame-sampled media record (what a resize + every-3rd-frame
+    * sampling stage would emit). */
+  final case class ResizedMedia(
+      doc_id: Long,
+      media_type: String,
+      rw: Int,
+      rh: Int,
+      n_frames: Int,
+      n_kept: Int)
+
+  /** STUB resize + frame-sample — integer-exact so the DuckDB oracle can
+    * replay it: fit (width, height) into a 32×32 box preserving aspect
+    * ratio (integer floor division), keep every 3rd frame (ceil). A real
+    * deployment swaps the body; the typed per-partition pipeline shape
+    * (the mapInPandas batch shape) is what the engine owns. */
+  def resizeSample(r: MediaRecord): ResizedMedia = {
+    val longSide = math.max(r.width, r.height)
+    val rw = math.max(1, r.width * 32 / longSide)
+    val rh = math.max(1, r.height * 32 / longSide)
+    val frames = r.payload.length / 64 + 1
+    ResizedMedia(r.doc_id, r.media_type, rw, rh, frames, (frames + 2) / 3)
+  }
+
+  /** Typed resize/frame-sample pipeline over the opaque media column. */
+  def resizePipeline(s: SparkSession, dir: String): Dataset[ResizedMedia] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRecord]
+      .mapPartitions(_.map(resizeSample))
+  }
+
+  private def q34resize(s: SparkSession, dir: String): DataFrame =
+    resizePipeline(s, dir).toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  private val q34resizeSql =
+    """WITH m AS (SELECT doc_id,
+      |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(16 + doc_id % 64 AS INT) AS w,
+      |  CAST(16 + doc_id % 48 AS INT) AS h,
+      |  octet_length(text::BLOB) // 64 + 1 AS frames
+      |FROM documents)
+      |SELECT doc_id, media_type,
+      |  CAST(GREATEST(1, w * 32 // GREATEST(w, h)) AS INT) AS rw,
+      |  CAST(GREATEST(1, h * 32 // GREATEST(w, h)) AS INT) AS rh,
+      |  CAST(frames AS INT) AS n_frames,
+      |  CAST((frames + 2) // 3 AS INT) AS n_kept
+      |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_media_meta", q34meta, Some(q34metaSql)),
-    QueryDef("q34_media_decode", q34decode, None))
+    QueryDef("q34_media_decode", q34decode, None),
+    QueryDef("q34_media_resize", q34resize, Some(q34resizeSql)))
 }
