@@ -72,33 +72,44 @@ object Similarity {
     * Approximate by construction — covered by LlmOpsSpec's recall
     * assertion against q29_ann_brute, not by a SQL oracle. */
   private def q29lsh(s: SparkSession, dir: String): DataFrame = {
+    graft.Graft.register(s)
     val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val nPlanes = Tables_ * BitsPerTable
-    // planes as a literal array-of-arrays column: planes[p][d]
-    val planes = array((0 until nPlanes).map(p =>
-      array((0 until 64).map(d => lit(planeComponent(p, d))): _*)): _*)
-    // one row per (vector, table): bucket = sign bits of that table's planes
-    def indexed(df: DataFrame): DataFrame = df
-      .withColumn("planes", planes)
-      .withColumn("tbl", explode(expr(s"sequence(0, ${Tables_ - 1})")))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(tbl * $BitsPerTable, tbl * $BitsPerTable + ${BitsPerTable - 1}),
-           |  0L, (acc, p) ->
-           |  acc * 2 + if(aggregate(zip_with(embedding, element_at(planes, p + 1),
-           |    (x, h) -> cast(x as double) * h), cast(0.0 as double), (a, v) -> a + v) >= 0, 1L, 0L))""".stripMargin))
-      .drop("planes")
+    // Sign bit of plane p as a codegen'd single-pass fold: the plane is a
+    // constant-folded float-array literal and sign(cosine) == sign(dot)
+    // for nonzero norms, so the codegen cosine replaces the interpreted
+    // zip_with/aggregate lambda (which dominated signature time).
+    def sigBit(p: Int): String = {
+      val arr = (0 until 64).map(d => planeComponent(p, d).toInt).mkString(",")
+      s"if(cosine_sim(embedding, cast(array($arr) as array<float>)) >= 0, 1L, 0L)"
+    }
+    // one row per (vector, table): bucket = that table's 6 sign bits
+    def indexed(df: DataFrame): DataFrame = {
+      val buckets = (0 until Tables_).map { t =>
+        struct(lit(t).as("tbl"),
+          expr((0 until BitsPerTable).map(i =>
+            s"(${sigBit(t * BitsPerTable + i)}) * ${1L << (BitsPerTable - 1 - i)}L")
+            .mkString(" + ")).as("bucket"))
+      }
+      df.withColumn("bb", explode(array(buckets: _*)))
+        .withColumn("tbl", col("bb.tbl"))
+        .withColumn("bucket", col("bb.bucket"))
+        .drop("bb")
+    }
     val corpus = indexed(e)
     val queries = indexed(e.where(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
+    // cos is computed BEFORE the multi-table dedup so the distinct
+    // shuffles three scalars per candidate, not two 64-float arrays;
+    // recomputing the codegen cosine per colliding table is cheaper than
+    // shipping the vectors.
     corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct() // a pair may collide in several tables
       .select(col("q_id"), col("vec_id"),
         VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
+      .distinct() // a pair may collide in several tables
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
