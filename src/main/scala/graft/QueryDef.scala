@@ -26,5 +26,6 @@ object Registry {
       operators.Multimodal.defs ++
       operators.Pipeline.defs ++
       streaming.EventWindows.defs ++
+      streaming.StreamDedup.defs ++
       operators.Udfs.defs
 }

@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class UEv(ts: Timestamp, user_id: Long)
+case class IdEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -117,6 +118,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"custom-state sessions ${streamed.size} vs session_window ${batch.size}; " +
         s"only-streamed=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+  }
+
+  test("stream dedup drops watermark-window duplicates, keeps each id once") {
+    import spark.implicits._
+    val stream = MemoryStream[IdEv](spark, 5)
+    val q = graft.streaming.StreamDedup.dedup(stream.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // at-least-once delivery: id 1 twice in one batch, id 2 across
+      // batches, id 3 three times; ids 4-5 clean
+      stream.addData(
+        IdEv(1, t(0), "a", 1.0), IdEv(1, t(0), "a", 1.0),
+        IdEv(2, t(1), "b", 2.0), IdEv(3, t(2), "c", 3.0))
+      q.processAllAvailable()
+      stream.addData(
+        IdEv(2, t(1), "b", 2.0), IdEv(3, t(2), "c", 3.0),
+        IdEv(3, t(2), "c", 3.0), IdEv(4, t(3), "d", 4.0))
+      q.processAllAvailable()
+      stream.addData(IdEv(5, t(600), "zz", 0.0)) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L, 4L, 5L),
+      s"each id exactly once, got $ids")
   }
 
   test("session window over a stream matches the batch equivalent") {
