@@ -25,6 +25,7 @@ object Registry {
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.Pipeline.defs ++
+      operators.TemporalJoins.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
       operators.Udfs.defs
