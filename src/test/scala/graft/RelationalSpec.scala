@@ -68,4 +68,30 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
+
+  private def hashExchanges(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("q38 as-of join is a single-shuffle plan") {
+    val plan = SparkEntry.queries("q38_asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hash exchange (user_id for the window); the final ORDER BY is a
+    // range exchange. A join-then-max formulation would need 2+.
+    assert(hashExchanges(plan) == 1,
+      s"expected exactly one hash exchange:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("q35 pipeline shuffles narrow rows, never the document text") {
+    val plan = SparkEntry.queries("q35_corpus_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // dedup window exchange + final agg exchange only
+    assert(hashExchanges(plan) == 2,
+      s"expected two hash exchanges (dedup + final agg):\n$plan")
+    // the exchanges must carry the md5 hash, not the text column
+    val exchangeLines = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exchangeLines.contains("text"),
+      s"text column must not reach a shuffle:\n$exchangeLines")
+  }
 }
