@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.CosineSimilarity
+import graft.plans.{CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Attach with
@@ -25,7 +25,10 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
 }
 
 /** Runtime registration for sessions the engine does not construct. */

@@ -245,12 +245,17 @@ object Dedup {
       |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, hamming ASC NULLS LAST""".stripMargin
 
   /** Embedding-cosine near-dup pairs (exact pair scan at test scale; the
-    * LSH-bucketed scale path lives in Similarity.annLsh). Dot products
-    * are sequential double folds — bit-identical to the oracle's. */
+    * LSH-bucketed scale path lives in Similarity.annLsh). The inverse
+    * norm is hoisted out of the pair loop: computed once per VECTOR, so
+    * each of the n²/2 pairs does ONE codegen'd dot-product fold instead
+    * of three. cos = (dot * rinv_a) * rinv_b with the same left-assoc
+    * order and sequential folds on both engines — bit-identical. */
   private def q28embed(s: SparkSession, dir: String): DataFrame = {
+    graft.Graft.register(s)
     val e = Tables.t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val cos = graft.functions.VectorOps.cosineFast(s, "x.embedding", "y.embedding")
+      .select(col("vec_id"), col("embedding"),
+        expr("cast(1.0 as double) / sqrt(dot_product(embedding, embedding))").as("rinv"))
+    val cos = expr("dot_product(x.embedding, y.embedding) * x.rinv * y.rinv")
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), cos.as("cos"))
       .where(col("cos") >= 0.45)
@@ -258,10 +263,13 @@ object Dedup {
   }
 
   private val q28embedSql =
-    s"""SELECT v1, v2, cos FROM (
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    CAST(1.0 AS DOUBLE) / sqrt(${VectorSql.dot("embedding", "embedding")}) AS rinv
+       |  FROM embeddings)
+       |SELECT v1, v2, cos FROM (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-       |    ${VectorSql.cosine("a.embedding", "b.embedding")} AS cos
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+       |    ${VectorSql.dot("a.embedding", "b.embedding")} * a.rinv * b.rinv AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
        |WHERE cos >= 0.45
        |ORDER BY v1 ASC NULLS LAST, v2 ASC NULLS LAST, cos ASC NULLS LAST""".stripMargin
 
