@@ -82,6 +82,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    // explicit external paths — the static warehouse conf stays untouched
+    val wh = Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.t(spark, sf, "orders")
+        .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").mode("overwrite")
+        .saveAsTable("orders_b")
+      Tables.t(spark, sf, "customer")
+        .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").mode("overwrite")
+        .saveAsTable("customer_b")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ==
+        Tables.t(spark, sf, "orders").join(
+          Tables.t(spark, sf, "customer"),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q35 pipeline shuffles narrow rows, never the document text") {
     val plan = SparkEntry.queries("q35_corpus_pipeline")(spark, sf)
       .queryExecution.executedPlan.toString
