@@ -77,8 +77,76 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
 
+  private def revenue = sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+    .cast(org.apache.spark.sql.types.DecimalType(28, 4))).cast("double")
+
+  /** Q42: TPC-H Q3 (shipping priority, adapted to fixture columns) —
+    * the classic 3-way join + filtered aggregate + top-10. Catalyst
+    * pushes both date filters and the segment filter into the scans;
+    * the top-10 is TakeOrderedAndProject, never a global sort. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last,
+        col("o_orderdate").asc_nulls_last, col("l_orderkey").asc_nulls_last)
+      .limit(10)
+
+  private val q42Sql =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS LAST,
+      |  l_orderkey ASC NULLS LAST
+      |LIMIT 10""".stripMargin
+
+  /** Q43: TPC-H Q5 (local-supplier volume, adapted) — 6-way star join
+    * with the two small dims broadcast, revenue per nation for 1997. */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "customer")
+      .join(Tables.t(s, dir, "orders")
+        .where(year(col("o_orderdate")) === 1997),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("n_name").asc_nulls_last)
+
+  private val q43Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+      |GROUP BY n_name
+      |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_percentiles", q39, Some(q39Sql)),
     QueryDef("q40_pivot", q40, Some(q40Sql)),
-    QueryDef("q41_salted_agg", q41, Some(q41Sql)))
+    QueryDef("q41_salted_agg", q41, Some(q41Sql)),
+    QueryDef("q42_tpch_q3", q42, Some(q42Sql)),
+    QueryDef("q43_tpch_q5", q43, Some(q43Sql)))
 }
