@@ -82,6 +82,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
   }
 
+  test("q42 pushes filters to scans and top-10s without a global sort") {
+    val plan = SparkEntry.queries("q42_tpch_q3")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed:\n$plan")
+    assert(plan.contains("LessThan(o_orderdate,"),
+      s"date filter not pushed:\n$plan")
+  }
+
+  test("q43 broadcasts the small dims") {
+    val plan = SparkEntry.queries("q43_tpch_q5")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"nation+region must broadcast:\n$plan")
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
