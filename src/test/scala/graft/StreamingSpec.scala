@@ -120,6 +120,44 @@ class StreamingSpec extends AnyFunSuite {
         s"only-streamed=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import spark.implicits._
+    val events = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)].collect().toSeq
+
+    val left = MemoryStream[(Long, Timestamp, Long, String)](spark, 6)
+    val right = MemoryStream[(Long, Timestamp, Long, String)](spark, 7)
+    val l = left.toDF().toDF("a_id", "a_ts", "a_user", "a_type")
+      .withWatermark("a_ts", "10 minutes")
+    val r = right.toDF().toDF("b_id", "b_ts", "b_user", "b_type")
+      .withWatermark("b_ts", "10 minutes")
+    val joined = l.join(r,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a_id"), col("b_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      left.addData(events)
+      right.addData(events)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.t(spark, sf, "events")
+    val batch = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream-stream join ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("stream dedup drops watermark-window duplicates, keeps each id once") {
     import spark.implicits._
     val stream = MemoryStream[IdEv](spark, 5)
