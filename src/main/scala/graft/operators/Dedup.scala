@@ -39,6 +39,24 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as("sh"))
       .distinct()
 
+  /** Shingles hashed to 64-bit BEFORE the distinct: every downstream
+    * exchange, posting list, and set operation works on fixed-width
+    * longs instead of ~25-char strings (the standard production-dedup
+    * move). Set relations are preserved absent xxhash64 collisions
+    * (~n²/2⁶⁵); the oracle verifies by exact string Jaccard, which
+    * agrees under the same condition. */
+  private[graft] def shingledHashed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      // hash AFTER the explode: inside the transform lambda xxhash64 runs
+      // interpreted per element; here it's one codegen'd projection
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .distinct()
+
   /** Exact dedup: per-language doc counts, distinct texts, duplicates. */
   private def q26(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
@@ -64,7 +82,7 @@ object Dedup {
     // memory across the 30-query Verify/Bench sweep. Recomputing the
     // shingle scan is cheap relative to the joins; callers that iterate
     // can persist+unpersist around their own materialization.
-    val sh = shingled(Tables.t(s, dir, "documents"))
+    val sh = shingledHashed(Tables.t(s, dir, "documents"))
     // xxhash64(seed, shingle) is a codegen'd bigint hash — an order of
     // magnitude cheaper than the md5-string family (the oracle verifies
     // candidates by exact Jaccard, so the min-hash family is internal
@@ -123,7 +141,7 @@ object Dedup {
     * document-frequency cap (stop-shingle removal) to bound hot-key
     * pair fan-out; unnecessary at test vocab (trigram df ≈ 1). */
   private def q28ngram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(Tables.t(s, dir, "documents")) // no .cache(): see q27
+    val sh = shingledHashed(Tables.t(s, dir, "documents")) // no .cache(): see q27
 
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Posting-list pair generation instead of a shingle self-join: one
