@@ -29,17 +29,9 @@ object Dedup {
     * putting `split(text)` inside the transform lambda re-tokenizes the
     * whole document per element_at (O(tokens²) interpreted work; higher-
     * order functions are not codegen'd), which dominated the dedup
-    * queries' runtime. */
-  private[graft] def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        explode(when(size(col("toks")) >= 3,
-          expr("transform(sequence(0, size(toks) - 3), " +
-            "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"))
-          .otherwise(array().cast("array<string>"))).as("sh"))
-      .distinct()
-
-  /** Shingles hashed to 64-bit BEFORE the distinct: every downstream
+    * queries' runtime.
+    *
+    * Shingles are hashed to 64-bit BEFORE the distinct: every downstream
     * exchange, posting list, and set operation works on fixed-width
     * longs instead of ~25-char strings (the standard production-dedup
     * move). Set relations are preserved absent xxhash64 collisions
