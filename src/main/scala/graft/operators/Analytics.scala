@@ -143,10 +143,64 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin
 
+  /** Q44: partitioned sink + partition-pruned read. Documents land as
+    * `lang=<v>/part-*.parquet`; the re-read filters one partition, which
+    * Catalyst prunes at planning time (PartitionFilters, no data read
+    * from the other four) — the layout that makes 100 TB corpora
+    * queryable per-language without full scans. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part_sink").toString
+    Tables.t(s, dir, "documents")
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .where(col("lang") === "en")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang").asc_nulls_last)
+  }
+
+  private val q44Sql =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en' GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  /** Q45: the full ranking/analytic window surface in one query —
+    * lead, lag, ntile, percent_rank, cume_dist per customer segment.
+    * percent_rank/cume_dist are exact small-integer ratios, so the
+    * doubles match the oracle bit-for-bit. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").asc_nulls_last, col("c_custkey").asc_nulls_last)
+    Tables.t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        lag(col("c_custkey"), 1).over(w).as("prev_c"),
+        lead(col("c_custkey"), 1).over(w).as("next_c"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_mktsegment").asc_nulls_last, col("c_custkey").asc_nulls_last)
+  }
+
+  private val q45Sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  lag(c_custkey, 1) OVER w AS prev_c,
+      |  lead(c_custkey, 1) OVER w AS next_c,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |  ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST)
+      |ORDER BY c_mktsegment ASC NULLS LAST, c_custkey ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_percentiles", q39, Some(q39Sql)),
     QueryDef("q40_pivot", q40, Some(q40Sql)),
     QueryDef("q41_salted_agg", q41, Some(q41Sql)),
     QueryDef("q42_tpch_q3", q42, Some(q42Sql)),
-    QueryDef("q43_tpch_q5", q43, Some(q43Sql)))
+    QueryDef("q43_tpch_q5", q43, Some(q43Sql)),
+    QueryDef("q44_partitioned_sink", q44, Some(q44Sql)),
+    QueryDef("q45_window_funcs", q45, Some(q45Sql)))
 }

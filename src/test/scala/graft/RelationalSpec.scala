@@ -92,6 +92,15 @@ class RelationalSpec extends AnyFunSuite {
       s"date filter not pushed:\n$plan")
   }
 
+  test("q44 prunes partitions at planning time") {
+    val plan = SparkEntry.queries("q44_partitioned_sink")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter not applied:\n$plan")
+    assert(plan.contains("(lang#") && plan.contains("= en"),
+      s"lang=en must prune partitions:\n$plan")
+  }
+
   test("q43 broadcasts the small dims") {
     val plan = SparkEntry.queries("q43_tpch_q5")(spark, sf)
       .queryExecution.executedPlan.toString
