@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiler (dev only, deleted before round end). */
+/** Dev tool: per-query timing (`runMain graft.Prof q07_tpch_q1 ...`) or,
+  * with no args, a plan audit over the whole registry — counts of
+  * exchanges / broadcasts / codegen spans and cartesian-product flags,
+  * for eyeballing scale red flags after plan changes.
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,19 +20,36 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(name: String)(f: => Unit): Unit = {
-      f // warm
-      val t0 = System.nanoTime()
-      f
-      println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q28_dedup_embed", "q29_ann_brute")
-    names.foreach { n =>
-      time(n) {
+    if (args.nonEmpty) {
+      args.foreach { n =>
+        val warm = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"PROF $n ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"(warm ${(t0 - warm) / 1e9}%.2f)")
+      }
+    } else {
+      def count(plan: String, pat: String): Int =
+        pat.r.findAllIn(plan).length
+      SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+        try {
+          val plan = SparkEntry.queries(n)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          val flags = Seq(
+            if (plan.contains("CartesianProduct")) "CARTESIAN" else "",
+            if (plan.contains("BroadcastNestedLoopJoin")) "BNLJ" else "")
+            .filter(_.nonEmpty).mkString(",")
+          println(f"AUDIT $n%-24s hashEx=${count(plan, "Exchange hashpartitioning")}%2d " +
+            f"rangeEx=${count(plan, "Exchange rangepartitioning")}%2d " +
+            f"bcast=${count(plan, "BroadcastHashJoin")}%2d " +
+            f"smj=${count(plan, "SortMergeJoin")}%2d " +
+            f"wsc=${count(plan, "WholeStageCodegen")}%2d $flags")
+        } catch {
+          case e: Throwable => println(s"AUDIT $n ERROR ${e.getMessage}")
+        }
       }
     }
     spark.stop()
