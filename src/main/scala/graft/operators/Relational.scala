@@ -400,6 +400,10 @@ object Relational {
       round(col("o_totalprice"), 1).as("rp"),
       round(abs(col("l_discount") - 0.05), 4).as("ad"),
       concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("rl"))
+    // NOTE: the range sort runs its child twice (sample pass + sort pass),
+    // so the 3-way join executes twice. A repartition() barrier between
+    // join and sort was measured SLOWER (extra 600k-row shuffle write+read
+    // costs more than the join re-execution) — keep the direct plan.
     j.select(cols: _*)
       .orderBy(cols.indices.map(i => col(Seq("up_brand", "len_name", "yr", "mo", "rp", "ad", "rl")(i)).asc_nulls_last): _*)
   }
