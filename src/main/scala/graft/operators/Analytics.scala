@@ -195,6 +195,31 @@ object Analytics {
       |  ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST)
       |ORDER BY c_mktsegment ASC NULLS LAST, c_custkey ASC NULLS LAST""".stripMargin
 
+  /** Q46: schema-on-read JSON — `from_json` parses `events.props` into a
+    * typed struct at scan time (unlike per-path get_json_object, one
+    * parse serves every field), then a typed aggregate per event type. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.t(s, dir, "events")
+      .withColumn("p", from_json(col("props"), schema))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.k")).cast("long").as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy(col("event_type").asc_nulls_last)
+  }
+
+  private val q46Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_percentiles", q39, Some(q39Sql)),
     QueryDef("q40_pivot", q40, Some(q40Sql)),
@@ -202,5 +227,6 @@ object Analytics {
     QueryDef("q42_tpch_q3", q42, Some(q42Sql)),
     QueryDef("q43_tpch_q5", q43, Some(q43Sql)),
     QueryDef("q44_partitioned_sink", q44, Some(q44Sql)),
-    QueryDef("q45_window_funcs", q45, Some(q45Sql)))
+    QueryDef("q45_window_funcs", q45, Some(q45Sql)),
+    QueryDef("q46_json_struct", q46, Some(q46Sql)))
 }
