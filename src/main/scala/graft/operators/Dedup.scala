@@ -260,15 +260,50 @@ object Dedup {
     * each of the n²/2 pairs does ONE codegen'd dot-product fold instead
     * of three. cos = (dot * rinv_a) * rinv_b with the same left-assoc
     * order and sequential folds on both engines — bit-identical. */
+  /** One embedding row (typed path). */
+  final case class Emb(vec_id: Long, embedding: Array[Float])
+
+  private[graft] def dotD(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
   private def q28embed(s: SparkSession, dir: String): DataFrame = {
-    graft.Graft.register(s)
-    val e = Tables.t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr("cast(1.0 as double) / sqrt(dot_product(embedding, embedding))").as("rinv"))
-    val cos = expr("dot_product(x.embedding, y.embedding) * x.rinv * y.rinv")
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"), cos.as("cos"))
-      .where(col("cos") >= 0.45)
+    import s.implicits._
+    // Typed broadcast pair scan — the "(d) mapPartitions" tier, used
+    // because it was MEASURED: the declarative BroadcastNestedLoopJoin
+    // spends its time in per-pair join-row machinery, not arithmetic
+    // (~160 ns/pair); this flatMap over a broadcast primitive-array
+    // corpus is the same plan shape (one side broadcast, no shuffle of
+    // candidates) minus the row overhead. Inverse norms are hoisted per
+    // vector, and every fold is the same ascending-index double
+    // accumulation as the oracle's — results stay bit-identical. The
+    // broadcast bound is the same as BNLJ's; past it the scale path is
+    // the LSH/IVF bucketed ANN in Similarity.
+    val data = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[Emb]
+    val corpus = data.collect().sortBy(_.vec_id)
+    val rinv = corpus.map(e => 1.0 / math.sqrt(dotD(e.embedding, e.embedding)))
+    val bc = s.sparkContext.broadcast((corpus, rinv))
+    data.flatMap { x =>
+      val (ys, ri) = bc.value
+      // x is always the smaller id (the oracle's `a` side)
+      val rx = 1.0 / math.sqrt(dotD(x.embedding, x.embedding))
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var j = 0
+      while (j < ys.length) {
+        val y = ys(j)
+        if (x.vec_id < y.vec_id) {
+          val cos = dotD(x.embedding, y.embedding) * rx * ri(j)
+          if (cos >= 0.45) out += ((x.vec_id, y.vec_id, cos))
+        }
+        j += 1
+      }
+      out.result()
+    }.toDF("v1", "v2", "cos")
       .orderBy(col("v1").asc_nulls_last, col("v2").asc_nulls_last, col("cos").asc_nulls_last)
   }
 
