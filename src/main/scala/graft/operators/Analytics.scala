@@ -228,5 +228,24 @@ object Analytics {
     QueryDef("q43_tpch_q5", q43, Some(q43Sql)),
     QueryDef("q44_partitioned_sink", q44, Some(q44Sql)),
     QueryDef("q45_window_funcs", q45, Some(q45Sql)),
-    QueryDef("q46_json_struct", q46, Some(q46Sql)))
+    QueryDef("q46_json_struct", q46, Some(q46Sql)),
+    QueryDef("q47_subqueries", q47, Some(q47Sql)))
+
+  /** Q47: the SQL entry path — correlated EXISTS / NOT EXISTS, which
+    * Catalyst decorrelates into semi/anti joins (same ANSI text runs on
+    * both engines; integer-only predicates keep it float-free). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(q47Sql)
+  }
+
+  private val q47Sql =
+    """SELECT n_name, COUNT(*) AS n_cust
+      |FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c_custkey AND o.o_totalprice > 100000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c_custkey AND o2.o_orderstatus = 'F')
+      |GROUP BY n_name
+      |ORDER BY n_name ASC NULLS LAST""".stripMargin
 }
