@@ -184,6 +184,42 @@ class StreamingSpec extends AnyFunSuite {
       s"each id exactly once, got $ids")
   }
 
+  test("foreachBatch sink: streamed windows land in parquet equal to batch") {
+    import spark.implicits._
+    val events = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_fb_sink").toString
+
+    val stream = MemoryStream[Ev](spark, 8)
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+    // the production sink shape: append-mode batches written as parquet,
+    // idempotent per epoch via deterministic file naming under the dir
+    val q = agg.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }.start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      stream.addData(Ev(new Timestamp(events.map(_.ts.getTime).max + 86400000L), "zz", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sunk = spark.read.parquet(outDir)
+      .where(col("event_type") =!= "zz")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q24_window_tumbling")(spark, sf)
+      .select(col("w_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(sunk == batch, s"sink ${sunk.size} windows vs batch ${batch.size}")
+  }
+
   test("session window over a stream matches the batch equivalent") {
     import spark.implicits._
     val events = Tables.t(spark, sf, "events")
