@@ -64,22 +64,25 @@ object Dedup {
       |  COUNT(*) - COUNT(DISTINCT text) AS n_dups
       |FROM documents GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 
-  /** MinHash signatures (12 md5-string min-hashes) + LSH banding
-    * (6 bands × 2 rows) + exact-Jaccard verification of candidates.
-    * Lexicographic min over md5(k:shingle) is a valid min-hash family;
-    * string min keeps the whole pipeline replayable in SQL. */
-  private def q27(s: SparkSession, dir: String): DataFrame = {
+  /** PUBLIC API — MinHash+LSH near-duplicate pairs over any DataFrame
+    * with (doc_id, text): minhash signatures, banded candidate join,
+    * exact-Jaccard verification. Rows per band = nHashes / nBands;
+    * candidate recall follows the standard (1/nBands)^(1/rowsPerBand)
+    * S-curve. Deterministic (fixed hash seeds, fully ordered output). */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
+      nHashes: Int = 12, nBands: Int = 6): DataFrame = {
+    require(nHashes % nBands == 0, "nBands must divide nHashes")
+    val rowsPerBand = nHashes / nBands
     // No .cache(): a builder returns a lazy plan, so an unpersist could
     // only run before materialization; a leaked cache accumulates executor
     // memory across the 30-query Verify/Bench sweep. Recomputing the
     // shingle scan is cheap relative to the joins; callers that iterate
     // can persist+unpersist around their own materialization.
-    val sh = shingledHashed(Tables.t(s, dir, "documents"))
+    val sh = shingledHashed(docs)
     // xxhash64(seed, shingle) is a codegen'd bigint hash — an order of
     // magnitude cheaper than the md5-string family (the oracle verifies
     // candidates by exact Jaccard, so the min-hash family is internal
     // and only its min-wise property matters).
-    val nHashes = 12
     val mins: Seq[Column] = (0 until nHashes).map(k =>
       min(xxhash64(lit(k), col("sh"))).as(s"m$k"))
     // ONE aggregation pass computes both the 12 min-hashes and the full
@@ -89,12 +92,13 @@ object Dedup {
     // the shingle scan per branch.
     val aggAll = sh.groupBy(col("doc_id"))
       .agg(mins.head, (mins.tail :+ collect_set(col("sh")).as("shs")): _*)
-    // 6 bands of 2 rows each: band key = xxhash64(m_{2b}, m_{2b+1}).
-    // One explode pass, NOT a 6-way unionAll — union branches re-execute
-    // the whole signature aggregation per band.
-    val bandStructs = array((0 until 6).map(b =>
+    // band key = xxhash64 over that band's signature rows. One explode
+    // pass, NOT an nBands-way unionAll — union branches re-execute the
+    // whole signature aggregation per band.
+    val bandStructs = array((0 until nBands).map(b =>
       struct(lit(b).as("band"),
-        xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("bk"))): _*)
+        xxhash64((0 until rowsPerBand).map(r =>
+          col(s"m${rowsPerBand * b + r}")): _*).as("bk"))): _*)
     val bands = aggAll
       .select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
@@ -110,9 +114,12 @@ object Dedup {
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jac"))
-      .where(col("jac") >= 0.8)
+      .where(col("jac") >= threshold)
       .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last, col("jac").asc_nulls_last)
   }
+
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.t(s, dir, "documents"))
 
   /** Brute-force oracle: the planted near-dups sit at j≈0.99 with a wide
     * gap below 0.2, so 6×2 banding has miss probability < 1e-10 and the
@@ -128,12 +135,13 @@ object Dedup {
       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.8
       |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, jac ASC NULLS LAST""".stripMargin
 
-  /** Exact n-gram Jaccard via inverted-index join on word trigrams: no
-    * candidate misses, no O(n²). At 100 TB the posting lists get a
-    * document-frequency cap (stop-shingle removal) to bound hot-key
-    * pair fan-out; unnecessary at test vocab (trigram df ≈ 1). */
-  private def q28ngram(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingledHashed(Tables.t(s, dir, "documents")) // no .cache(): see q27
+  /** PUBLIC API — exact n-gram Jaccard pairs over (doc_id, text) via an
+    * inverted-index join on word trigrams: no candidate misses, no
+    * O(n²). At 100 TB the posting lists get a document-frequency cap
+    * (stop-shingle removal) to bound hot-key pair fan-out; unnecessary
+    * at test vocab (trigram df ≈ 1). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingledHashed(docs) // no .cache(): see minhashPairs
 
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Posting-list pair generation instead of a shingle self-join: one
@@ -154,9 +162,12 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))).as("jac"))
-      .where(col("jac") >= 0.5)
+      .where(col("jac") >= threshold)
       .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last, col("jac").asc_nulls_last)
   }
+
+  private def q28ngram(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.t(s, dir, "documents"))
 
   private val q28ngramSql =
     """WITH d AS (
@@ -169,14 +180,15 @@ object Dedup {
       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5
       |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, jac ASC NULLS LAST""".stripMargin
 
-  /** SimHash near-dup: 60-bit token-frequency simhash; pairs blocked on
-    * 10×6-bit bands — with hamming ≤ 9 at least one band is untouched
-    * (pigeonhole), so band blocking is lossless for the ≤8 threshold,
-    * not probabilistic. (One-token edits flip up to ~6 bits of a 60-bit
-    * simhash on short docs, so a tighter threshold under-recalls.) */
-  private def q28simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(s, dir, "documents")
-    val sims = simhash(docs) // no .cache(): see q27
+  /** PUBLIC API — SimHash near-dup pairs over (doc_id, text): 60-bit
+    * token-frequency simhash; pairs blocked on 10×6-bit bands — with
+    * hamming ≤ 9 at least one band is untouched (pigeonhole), so band
+    * blocking is LOSSLESS for maxHamming ≤ 9, not probabilistic.
+    * (One-token edits flip up to ~6 bits of a 60-bit simhash on short
+    * docs, so a tighter threshold under-recalls.) */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming <= 9, "10-band blocking is lossless only for hamming <= 9")
+    val sims = simhash(docs) // no .cache(): see minhashPairs
     // 10×6-bit pigeonhole bands (hamming ≤ 9 leaves ≥ 1 band untouched,
     // so blocking is lossless for the ≤ 8 threshold); one explode pass,
     // not a 10-way unionAll. The two self-join branches are identical
@@ -205,13 +217,16 @@ object Dedup {
       .select(explode(col("ds")).as("x"), col("ds"))
       .select(col("x"), explode(col("ds")).as("y"))
       .where(col("x.doc_id") < col("y.doc_id") &&
-        expr("bit_count(x.simhash ^ y.simhash)") <= 8)
+        expr("bit_count(x.simhash ^ y.simhash)") <= maxHamming)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
       .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last,
         col("hamming").asc_nulls_last)
   }
+
+  private def q28simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.t(s, dir, "documents"))
 
   /** 60-bit simhash per doc from token counts; token hash = first 15 hex
     * chars of md5 (60 bits, positive). Tie (bit-sum 0) → bit 0.
@@ -271,7 +286,10 @@ object Dedup {
     d
   }
 
-  private def q28embed(s: SparkSession, dir: String): DataFrame = {
+  /** PUBLIC API — embedding-cosine near-dup pairs over (vec_id,
+    * embedding: array&lt;float&gt;), exact pair scan. */
+  def embedCosinePairs(s: SparkSession, embeddings: DataFrame,
+      threshold: Double = 0.45): DataFrame = {
     import s.implicits._
     // Typed broadcast pair scan — the "(d) mapPartitions" tier, used
     // because it was MEASURED: the declarative BroadcastNestedLoopJoin
@@ -283,7 +301,7 @@ object Dedup {
     // accumulation as the oracle's — results stay bit-identical. The
     // broadcast bound is the same as BNLJ's; past it the scale path is
     // the LSH/IVF bucketed ANN in Similarity.
-    val data = Tables.t(s, dir, "embeddings")
+    val data = embeddings
       .select(col("vec_id"), col("embedding")).as[Emb]
     val corpus = data.collect().sortBy(_.vec_id)
     val rinv = corpus.map(e => 1.0 / math.sqrt(dotD(e.embedding, e.embedding)))
@@ -298,7 +316,7 @@ object Dedup {
         val y = ys(j)
         if (x.vec_id < y.vec_id) {
           val cos = dotD(x.embedding, y.embedding) * rx * ri(j)
-          if (cos >= 0.45) out += ((x.vec_id, y.vec_id, cos))
+          if (cos >= threshold) out += ((x.vec_id, y.vec_id, cos))
         }
         j += 1
       }
@@ -306,6 +324,9 @@ object Dedup {
     }.toDF("v1", "v2", "cos")
       .orderBy(col("v1").asc_nulls_last, col("v2").asc_nulls_last, col("cos").asc_nulls_last)
   }
+
+  private def q28embed(s: SparkSession, dir: String): DataFrame =
+    embedCosinePairs(s, Tables.t(s, dir, "embeddings"))
 
   private val q28embedSql =
     s"""WITH e AS (SELECT vec_id, embedding,

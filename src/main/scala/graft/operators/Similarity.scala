@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,21 +23,29 @@ object Similarity {
 
   private val K = 5
 
+  /** PUBLIC API — exact cosine top-k: for each (q_id, q_emb) query row,
+    * the k nearest corpus rows (vec_id, embedding) by cosine, ties
+    * broken by vec_id. Queries broadcast; corpus stays partitioned. */
+  def annBruteTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = K): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
+    corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
   /** Brute-force exact ANN: top-5 cosine neighbours for each of the 10
     * query vectors (vec_id < 10), ties broken by vec_id. */
   private def q29brute(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
-      .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
+    annBruteTopK(s, e, q)
   }
 
   private val q29bruteSql =
@@ -65,15 +73,16 @@ object Similarity {
   private val Tables_ = 6 // independent hash tables (OR-construction)
   private val BitsPerTable = 6
 
-  /** LSH-bucketed ANN (the scale path): a multi-table OR-construction of
-    * hyperplane-sign signatures — each vector is indexed under one
-    * 6-bit bucket per table, and a query searches the union of its 6
-    * buckets (~9 % of the corpus here vs 100 % for brute force).
-    * Approximate by construction — covered by LlmOpsSpec's recall
-    * assertion against q29_ann_brute, not by a SQL oracle. */
-  private def q29lsh(s: SparkSession, dir: String): DataFrame = {
+  /** PUBLIC API — LSH-bucketed ANN top-k (the scale path): a multi-table
+    * OR-construction of hyperplane-sign signatures — each vector is
+    * indexed under one 6-bit bucket per table, and a query searches the
+    * union of its 6 buckets (~9 % of the corpus here vs 100 % for brute
+    * force). Approximate by construction — covered by LlmOpsSpec's
+    * recall assertion against q29_ann_brute, not by a SQL oracle. */
+  def annLshTopK(s: SparkSession, corpus: DataFrame,
+      queryPred: Column, k: Int = K): DataFrame = {
     graft.Graft.register(s)
-    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = corpus.select(col("vec_id"), col("embedding"))
     // Sign bit of plane p as a codegen'd single-pass fold: the plane is a
     // constant-folded float-array literal and sign(cosine) == sign(dot)
     // for nonzero norms, so the codegen cosine replaces the interpreted
@@ -95,8 +104,8 @@ object Similarity {
         .withColumn("bucket", col("bb.bucket"))
         .drop("bb")
     }
-    val corpus = indexed(e)
-    val queries = indexed(e.where(col("vec_id") < 10))
+    val indexedCorpus = indexed(e)
+    val queries = indexed(e.where(queryPred))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
@@ -105,16 +114,19 @@ object Similarity {
     // shuffles three scalars per candidate, not two 64-float arrays;
     // recomputing the codegen cosine per colliding table is cheaper than
     // shipping the vectors.
-    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
+    indexedCorpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
       .distinct() // a pair may collide in several tables
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
+
+  private def q29lsh(s: SparkSession, dir: String): DataFrame =
+    annLshTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
   private val Centroids = 16
   private val NProbe = 4
@@ -130,8 +142,9 @@ object Similarity {
     * written bucket-partitioned at build time); the probe touches
     * NProbe/Centroids of the data instead of all of it. Approximate by
     * construction — recall vs q29_ann_brute asserted in LlmOpsSpec. */
-  private def q29ivf(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  def annIvfTopK(s: SparkSession, corpus: DataFrame,
+      queryPred: Column, k: Int = K): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
     val cent = e
       .withColumn("r", md5(col("vec_id").cast("string")))
       .orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
@@ -147,7 +160,7 @@ object Similarity {
       .where(col("crank") <= 1)
       .select(col("vec_id"), col("embedding"), col("c_id"))
     // queries probe their NProbe nearest centroid lists
-    val queries = e.where(col("vec_id") < 10)
+    val queries = e.where(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("q_sim").desc_nulls_last, col("c_id").asc_nulls_last)
@@ -164,10 +177,13 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
+
+  private def q29ivf(s: SparkSession, dir: String): DataFrame =
+    annIvfTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ann_brute", q29brute, Some(q29bruteSql)),
