@@ -22,17 +22,20 @@ object TextAnalysis {
 
   /** Q29 token counts: top-20 tokens per language by frequency
     * (explode = the Generator/UDTF surface of SURVEY §2B Q29/Q30). */
-  private def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+  def tokenCounts(docs: DataFrame, k: Int = 20): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n").desc_nulls_last, col("tok").asc_nulls_last)
-    Tables.t(s, dir, "documents")
+    docs
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 20)
+      .where(col("rn") <= k)
       .orderBy(col("lang").asc_nulls_last, col("rn").asc_nulls_last)
   }
+
+  private def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenCounts(Tables.t(s, dir, "documents"))
 
   private val tokenCountsSql =
     """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -45,8 +48,8 @@ object TextAnalysis {
   /** Per-document quality statistics: token counts, type-token ratio,
     * average token length, stopword ratio, and a blended quality score.
     * All raw IEEE doubles — no rounding, oracle-identical. */
-  private def textStats(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents")
+  def textStats(docs: DataFrame): DataFrame =
+    docs
       .withColumn("s", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -61,6 +64,9 @@ object TextAnalysis {
       .withColumn("quality",
         expr("0.3 * ttr + 0.3 * stop_ratio + 0.4 * least(1.0, cast(n_tokens as double) / 100.0)"))
       .orderBy(col("doc_id").asc_nulls_last)
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    textStats(Tables.t(s, dir, "documents"))
 
   private val textStatsSql =
     """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS s FROM documents),
@@ -77,8 +83,8 @@ object TextAnalysis {
 
   /** Heuristic language ID: stopword-profile hit counts with a
     * deterministic argmax (ties resolved in profile order). */
-  private def langId(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents")
+  def langId(docs: DataFrame): DataFrame =
+    docs
       .withColumn("s", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -95,6 +101,9 @@ object TextAnalysis {
           |  when es_hits > 0 then 'es'
           |  else 'und' end""".stripMargin))
       .orderBy(col("doc_id").asc_nulls_last)
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    langId(Tables.t(s, dir, "documents"))
 
   private val langIdSql =
     """WITH d AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS s FROM documents),
@@ -117,9 +126,9 @@ object TextAnalysis {
     * acc*131 + md5_32(token) (mod 1e9+7) over the token stream, plus a
     * same-fingerprint count (exact-dup detector robust to storage
     * differences). */
-  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+  def fingerprint(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("fp"))
-    Tables.t(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         expr("aggregate(split(text, ' '), 0L, (acc, t) -> " +
           "(acc * 131 + cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)) % 1000000007)")
@@ -127,6 +136,9 @@ object TextAnalysis {
       .withColumn("n_same", count(lit(1)).over(w))
       .orderBy(col("doc_id").asc_nulls_last)
   }
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.t(s, dir, "documents"))
 
   private val fingerprintSql =
     """WITH f AS (SELECT doc_id,
@@ -141,8 +153,8 @@ object TextAnalysis {
     * letters, digits, or single punctuation marks (the GPT-2 pre-tokenizer
     * shape, simplified to a regex both engines execute identically), with
     * per-language totals + distinct-token vocab size. */
-  private def tokenRegex(s: SparkSession, dir: String): DataFrame =
-    Tables.t(s, dir, "documents")
+  def tokenRegex(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"),
         explode(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .as("tok"))
@@ -150,6 +162,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("vocab"))
       .orderBy(col("lang").asc_nulls_last)
+
+  private def qTokenRegex(s: SparkSession, dir: String): DataFrame =
+    tokenRegex(Tables.t(s, dir, "documents"))
 
   private val tokenRegexSql =
     """WITH tok AS (SELECT lang,
@@ -159,9 +174,9 @@ object TextAnalysis {
       |FROM tok GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q29_token_counts", tokenCounts, Some(tokenCountsSql)),
-    QueryDef("q29_token_regex", tokenRegex, Some(tokenRegexSql)),
-    QueryDef("q31_text_stats", textStats, Some(textStatsSql)),
-    QueryDef("q32_lang_id", langId, Some(langIdSql)),
-    QueryDef("q33_fingerprint", fingerprint, Some(fingerprintSql)))
+    QueryDef("q29_token_counts", qTokenCounts, Some(tokenCountsSql)),
+    QueryDef("q29_token_regex", qTokenRegex, Some(tokenRegexSql)),
+    QueryDef("q31_text_stats", qTextStats, Some(textStatsSql)),
+    QueryDef("q32_lang_id", qLangId, Some(langIdSql)),
+    QueryDef("q33_fingerprint", qFingerprint, Some(fingerprintSql)))
 }
