@@ -31,9 +31,11 @@ object Pipeline {
       |  when es_hits > 0 then 'es'
       |  else 'und' end""".stripMargin
 
-  private def q35(s: SparkSession, dir: String): DataFrame = {
+  /** PUBLIC API — the full corpus-cleaning pipeline over any
+    * (doc_id, lang, text) DataFrame. */
+  def corpusClean(docs: DataFrame, qualityThreshold: Double = 0.35): DataFrame = {
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc_nulls_last)
-    Tables.t(s, dir, "documents")
+    docs
       .withColumn("s", split(col("text"), " "))
       .withColumn("n_tokens", size(col("s")))
       .withColumn("ttr",
@@ -46,7 +48,7 @@ object Pipeline {
       .withColumn("de_hits", expr("size(filter(s, x -> x in ('der', 'die', 'das', 'und')))"))
       .withColumn("fr_hits", expr("size(filter(s, x -> x in ('le', 'la', 'les', 'et')))"))
       .withColumn("es_hits", expr("size(filter(s, x -> x in ('el', 'los', 'las', 'y')))"))
-      .where(col("quality") > 0.35)
+      .where(col("quality") > qualityThreshold)
       // project BEFORE the dedup shuffle: the window exchange carries the
       // content hash + a handful of numeric columns, never `text`/`s`
       .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
@@ -63,6 +65,9 @@ object Pipeline {
         Canon.davg(col("quality"), 9, 4).as("avg_quality"))
       .orderBy(col("lang").asc_nulls_last, col("pred_lang").asc_nulls_last)
   }
+
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    corpusClean(Tables.t(s, dir, "documents"))
 
   private val q35Sql =
     s"""WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS s FROM documents),
