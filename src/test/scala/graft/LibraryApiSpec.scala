@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
+
+/** The parameterized operator API from a library consumer's seat: custom
+  * DataFrames (not the fixture tables), non-default thresholds.
+  */
+class LibraryApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docsDf = {
+    import spark.implicits._
+    // three exact near-dup pairs (one token changed) + unrelated docs
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base.replace("today", "tonight")),
+      (3L, "en", "completely different text about spark shuffles and exchanges and joins"),
+      (4L, "en", base.replace("quick", "rapid")),
+      (5L, "en", "another unrelated document that talks about parquet files and columns"),
+      (6L, "en", base))
+    docs.toDF("doc_id", "lang", "text")
+  }
+
+  test("minhashPairs finds planted near-dups at a custom threshold") {
+    val pairs = Dedup.minhashPairs(docsDf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2, 1-4, 2-4 (one-token edits) and 1-6 / 2-6 / 4-6 (6 = copy of 1)
+    assert(pairs.contains((1L, 6L)), s"exact dup missed: $pairs")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)),
+      s"near dups missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L),
+      s"unrelated docs must not pair: $pairs")
+  }
+
+  test("simhashPairs at a strict hamming threshold keeps the exact dup") {
+    val strict = Dedup.simhashPairs(docsDf, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 6L)), s"only the exact copy at hamming 0: $strict")
+  }
+
+  test("annBruteTopK ranks a custom corpus against custom queries") {
+    import spark.implicits._
+    // 1-hot corners plus a near-copy of vector 0
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = Similarity.annBruteTopK(spark, corpus, queries, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 1L), (2, 2L)), s"ranking wrong: ${top.toSeq}")
+  }
+
+  test("corpusClean keeps monotonically fewer docs as the threshold rises") {
+    def kept(t: Double): Long =
+      Pipeline.corpusClean(docsDf, qualityThreshold = t)
+        .agg(coalesce(sum("n_docs"), lit(0L))).collect()(0).getLong(0)
+    assert(kept(0.0) >= kept(0.4), "higher bar cannot keep more docs")
+    // threshold 0 keeps everything except the dedup'd exact copy
+    assert(kept(0.0) == 5L, s"expected 5 kept (6 minus 1 dup): ${kept(0.0)}")
+  }
+
+  test("langId works on any conforming frame") {
+    val out = TextAnalysis.langId(docsDf)
+    assert(out.count() == 6)
+    assert(out.columns.contains("pred_lang"))
+  }
+}
