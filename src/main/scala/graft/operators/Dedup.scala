@@ -121,19 +121,14 @@ object Dedup {
   private def q27(s: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.t(s, dir, "documents"))
 
-  /** Brute-force oracle: the planted near-dups sit at j≈0.99 with a wide
-    * gap below 0.2, so 6×2 banding has miss probability < 1e-10 and the
-    * LSH result equals the exhaustive result on this data. */
-  private val q27Sql =
-    """WITH d AS (
-      |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-      |    FOR i IN range(1, len(s) - 1)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
-      |SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) AS jac
-      |FROM d a JOIN d b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.8
-      |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, jac ASC NULLS LAST""".stripMargin
+  /** Exhaustive-exact oracle via an inverted index (any pair with
+    * jac > 0 shares a shingle, so no candidate is missed — equivalent to
+    * the all-pairs scan but without materializing n²/2 list intersections,
+    * which kept DuckDB's memory footprint an order of magnitude lower).
+    * The planted near-dups sit at j≈0.99 with a wide gap below 0.2, so
+    * 6×2 banding has miss probability < 1e-10 and the LSH result equals
+    * the exhaustive result on this data. */
+  private val q27Sql = Dedup.jaccardOracleSql(0.8)
 
   /** PUBLIC API — exact n-gram Jaccard pairs over (doc_id, text) via an
     * inverted-index join on word trigrams: no candidate misses, no
@@ -169,16 +164,24 @@ object Dedup {
   private def q28ngram(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.t(s, dir, "documents"))
 
-  private val q28ngramSql =
-    """WITH d AS (
-      |  SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-      |    FOR i IN range(1, len(s) - 1)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
-      |SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |  len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) AS jac
-      |FROM d a JOIN d b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5
-      |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, jac ASC NULLS LAST""".stripMargin
+  private val q28ngramSql = Dedup.jaccardOracleSql(0.5)
+
+  /** Shared exact-Jaccard oracle (see q27Sql doc). */
+  private def jaccardOracleSql(threshold: Double): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+       |    FOR i IN range(1, len(s) - 1)])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, jac FROM (
+       |  SELECT d1, d2,
+       |    inter::DOUBLE / (s1.sz + s2.sz - inter) AS jac
+       |  FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id) p
+       |WHERE jac >= $threshold
+       |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, jac ASC NULLS LAST""".stripMargin
 
   /** PUBLIC API — SimHash near-dup pairs over (doc_id, text): 60-bit
     * token-frequency simhash; pairs blocked on 10×6-bit bands — with
