@@ -324,7 +324,12 @@ object Dedup {
         j += 1
       }
       out.result()
-    }.toDF("v1", "v2", "cos")
+    }.toDF("v1", "v2", "rawcos")
+      // round to 9 dp: DuckDB evaluates the oracle's decorrelated dot
+      // subqueries with parallel aggregation whose accumulation order
+      // can shift one ulp under load (observed intermittently); 9 dp is
+      // far above the 1e-16 noise and far below the data's resolution
+      .select(col("v1"), col("v2"), round(col("rawcos"), 9).as("cos"))
       .orderBy(col("v1").asc_nulls_last, col("v2").asc_nulls_last, col("cos").asc_nulls_last)
   }
 
@@ -335,11 +340,11 @@ object Dedup {
     s"""WITH e AS (SELECT vec_id, embedding,
        |    CAST(1.0 AS DOUBLE) / sqrt(${VectorSql.dot("embedding", "embedding")}) AS rinv
        |  FROM embeddings)
-       |SELECT v1, v2, cos FROM (
+       |SELECT v1, v2, round(rawcos, 9) AS cos FROM (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
-       |    ${VectorSql.dot("a.embedding", "b.embedding")} * a.rinv * b.rinv AS cos
+       |    ${VectorSql.dot("a.embedding", "b.embedding")} * a.rinv * b.rinv AS rawcos
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
-       |WHERE cos >= 0.45
+       |WHERE rawcos >= 0.45
        |ORDER BY v1 ASC NULLS LAST, v2 ASC NULLS LAST, cos ASC NULLS LAST""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -35,7 +35,10 @@ object Similarity {
         VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      // 9-dp rounding: DuckDB's decorrelated dot subqueries aggregate in
+      // parallel, so the oracle's last ulp can shift under load
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 9).as("cos"))
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
@@ -57,7 +60,7 @@ object Similarity {
        |  SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST) AS rank
        |  FROM scored)
-       |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= $K
+       |SELECT q_id, rank, vec_id, round(cos, 9) AS cos FROM ranked WHERE rank <= $K
        |ORDER BY q_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -121,7 +124,8 @@ object Similarity {
       .distinct() // a pair may collide in several tables
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 9).as("cos"))
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
@@ -178,7 +182,8 @@ object Similarity {
         VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 9).as("cos"))
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
