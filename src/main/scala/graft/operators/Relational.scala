@@ -46,7 +46,9 @@ object Relational {
   /** Q02 sink round-trip: write Q01 to parquet, re-read, count.
     * (celeborn: worker commit/persist path, Controller.scala:462) */
   private def q02(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_q02"
+    // fresh dir per invocation: concurrent runs (or a parallel bench)
+    // must not race on a shared overwrite path
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_q02").toString
     q01(s, dir).write.mode("overwrite").parquet(out)
     s.read.parquet(out).agg(count(lit(1)).as("n"))
   }
@@ -55,7 +57,7 @@ object Relational {
     * columnar/row sinks (ORC, CSV, JSON) — "multi-format" per SURVEY §2B
     * G1. Count-only check: the content check is Q02's parquet hash. */
   private def q02fmt(fmt: String)(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_q02_$fmt"
+    val out = java.nio.file.Files.createTempDirectory(s"graft_sink_q02_$fmt").toString
     val w = q01(s, dir).write.mode("overwrite")
     val r = s.read
     fmt match {
