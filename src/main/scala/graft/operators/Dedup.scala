@@ -272,80 +272,111 @@ object Dedup {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
       |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, hamming ASC NULLS LAST""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (exact pair scan at test scale; the
-    * LSH-bucketed scale path lives in Similarity.annLsh). The inverse
-    * norm is hoisted out of the pair loop: computed once per VECTOR, so
-    * each of the n²/2 pairs does ONE codegen'd dot-product fold instead
-    * of three. cos = (dot * rinv_a) * rinv_b with the same left-assoc
-    * order and sequential folds on both engines — bit-identical. */
-  /** One embedding row (typed path). */
-  final case class Emb(vec_id: Long, embedding: Array[Float])
-
-  private[graft] def dotD(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
-    var d = 0.0
-    var i = 0
-    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-    d
-  }
+  /** Hyperplane-band parameters of [[embedCosinePairs]] (shared with its
+    * oracle generator): an OR-construction of `EmbedTables` hash tables,
+    * each keying on `EmbedBits` hyperplane sign bits. */
+  private[graft] val EmbedTables = 8
+  private[graft] val EmbedBits = 4
 
   /** PUBLIC API — embedding-cosine near-dup pairs over (vec_id,
-    * embedding: array&lt;float&gt;), exact pair scan. */
+    * embedding: array&lt;float&gt;), fully distributed: candidates come
+    * from deterministic random-hyperplane banding (md5-derived planes,
+    * [[Similarity.planeComponent]]), verification is an exact codegen'd
+    * `dot_product` with the inverse norm hoisted per VECTOR — each
+    * candidate pair does ONE fold, never three. No driver collect, no
+    * all-pairs scan: each (table, bucket) group generates its pairs
+    * bucket-locally (collect_list + double-explode, the same one-subplan
+    * shape as [[simhashPairs]]), so the candidate stream lives inside a
+    * single codegen stage and only surviving pairs are shuffled.
+    *
+    * Candidate recall is the standard OR-construction S-curve
+    * 1−(1−p^bits)^tables with p = 1 − θ/π: ≈ 1 − 6e-4 at cos 0.95 and
+    * ≈ 0.98 at cos 0.9 for the 8×4 defaults — the production near-dup
+    * regime. (At the fixture's background threshold 0.45 banding is
+    * intentionally partial; the registered query's oracle REPLAYS the
+    * banding in SQL — the planes are integer constants inlined into the
+    * generated query — so DuckDB verifies the whole pipeline, candidates
+    * included, not just the verify step. LlmOpsSpec asserts recall on
+    * planted high-cos near-dups, where the S-curve bound applies.)
+    *
+    * cos = (dot * rinv_a) * rinv_b with the same left-assoc order and
+    * ascending sequential folds on both engines — bit-identical; output
+    * rounded to 9 dp (DuckDB's parallel aggregation can shift the last
+    * ulp under load, observed intermittently in round 2). */
   def embedCosinePairs(s: SparkSession, embeddings: DataFrame,
-      threshold: Double = 0.45): DataFrame = {
-    import s.implicits._
-    // Typed broadcast pair scan — the "(d) mapPartitions" tier, used
-    // because it was MEASURED: the declarative BroadcastNestedLoopJoin
-    // spends its time in per-pair join-row machinery, not arithmetic
-    // (~160 ns/pair); this flatMap over a broadcast primitive-array
-    // corpus is the same plan shape (one side broadcast, no shuffle of
-    // candidates) minus the row overhead. Inverse norms are hoisted per
-    // vector, and every fold is the same ascending-index double
-    // accumulation as the oracle's — results stay bit-identical. The
-    // broadcast bound is the same as BNLJ's; past it the scale path is
-    // the LSH/IVF bucketed ANN in Similarity.
-    val data = embeddings
-      .select(col("vec_id"), col("embedding")).as[Emb]
-    val corpus = data.collect().sortBy(_.vec_id)
-    val rinv = corpus.map(e => 1.0 / math.sqrt(dotD(e.embedding, e.embedding)))
-    val bc = s.sparkContext.broadcast((corpus, rinv))
-    data.flatMap { x =>
-      val (ys, ri) = bc.value
-      // x is always the smaller id (the oracle's `a` side)
-      val rx = 1.0 / math.sqrt(dotD(x.embedding, x.embedding))
-      val out = Seq.newBuilder[(Long, Long, Double)]
-      var j = 0
-      while (j < ys.length) {
-        val y = ys(j)
-        if (x.vec_id < y.vec_id) {
-          val cos = dotD(x.embedding, y.embedding) * rx * ri(j)
-          if (cos >= threshold) out += ((x.vec_id, y.vec_id, cos))
-        }
-        j += 1
-      }
-      out.result()
-    }.toDF("v1", "v2", "rawcos")
-      // round to 9 dp: DuckDB evaluates the oracle's decorrelated dot
-      // subqueries with parallel aggregation whose accumulation order
-      // can shift one ulp under load (observed intermittently); 9 dp is
-      // far above the 1e-16 noise and far below the data's resolution
+      threshold: Double = 0.45, nTables: Int = EmbedTables,
+      bitsPerTable: Int = EmbedBits): DataFrame = {
+    graft.Graft.register(s)
+    // Sign bit of plane p: sign(dot) == sign(cosine) for nonzero norms,
+    // and the plane is a constant-folded float-array literal, so each bit
+    // is one codegen'd dot_product fold — no interpreted lambdas.
+    def sigBit(p: Int): String = {
+      val arr = (0 until VectorSql.Dim)
+        .map(d => Similarity.planeComponent(p, d).toInt).mkString(",")
+      s"if(dot_product(embedding, cast(array($arr) as array<float>)) >= 0d, 1L, 0L)"
+    }
+    val bucketStructs = array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        expr((0 until bitsPerTable).map(i =>
+          s"(${sigBit(t * bitsPerTable + i)}) * ${1L << (bitsPerTable - 1 - i)}L")
+          .mkString(" + ")).as("bucket"))
+    }: _*)
+    // rinv is computed ONCE per vector, before the band explode; the
+    // banded rows carry (vec_id, embedding, rinv) into their buckets.
+    val banded = embeddings
+      .select(col("vec_id"), col("embedding"),
+        (lit(1.0) / sqrt(expr("dot_product(embedding, embedding)"))).as("rinv"))
+      .select(col("vec_id"), col("embedding"), col("rinv"),
+        explode(bucketStructs).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("rinv"),
+        col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    // Bucket-local pair generation (see simhashPairs for why this beats a
+    // band self-join). A pair colliding in several tables yields the same
+    // (v1, v2, cos) bytes each time — distinct() collapses them.
+    val buckets = banded.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("rinv"))).as("ds"))
+    buckets
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+      .where(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        (expr("dot_product(x.embedding, y.embedding)") *
+          col("x.rinv") * col("y.rinv")).as("rawcos"))
+      .where(col("rawcos") >= threshold)
       .select(col("v1"), col("v2"), round(col("rawcos"), 9).as("cos"))
+      .distinct()
       .orderBy(col("v1").asc_nulls_last, col("v2").asc_nulls_last, col("cos").asc_nulls_last)
   }
 
   private def q28embed(s: SparkSession, dir: String): DataFrame =
     embedCosinePairs(s, Tables.t(s, dir, "embeddings"))
 
-  private val q28embedSql =
+  /** Oracle replaying the full banded pipeline: per-table bucket ids from
+    * the SAME inlined integer plane constants (explicit left-assoc sums —
+    * bit-identical to dot_product's ascending fold), candidates = pairs
+    * sharing ≥ 1 bucket, then the exact hoisted-rinv cosine. */
+  private def q28embedSql: String = {
+    def planeDot(p: Int): String =
+      (0 until VectorSql.Dim).map(d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE)*${Similarity.planeComponent(p, d).toInt}")
+        .mkString(" + ")
+    def bucket(t: Int): String =
+      (0 until EmbedBits).map(i =>
+        s"(CASE WHEN (${planeDot(t * EmbedBits + i)}) >= 0 THEN ${1L << (EmbedBits - 1 - i)} ELSE 0 END)")
+        .mkString(" + ")
+    val bucketCols = (0 until EmbedTables).map(t => s"(${bucket(t)}) AS bk$t").mkString(",\n    ")
+    val collide = (0 until EmbedTables).map(t => s"a.bk$t = b.bk$t").mkString(" OR ")
     s"""WITH e AS (SELECT vec_id, embedding,
-       |    CAST(1.0 AS DOUBLE) / sqrt(${VectorSql.dot("embedding", "embedding")}) AS rinv
+       |    CAST(1.0 AS DOUBLE) / sqrt(${VectorSql.dot("embedding", "embedding")}) AS rinv,
+       |    $bucketCols
        |  FROM embeddings)
        |SELECT v1, v2, round(rawcos, 9) AS cos FROM (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2,
        |    ${VectorSql.dot("a.embedding", "b.embedding")} * a.rinv * b.rinv AS rawcos
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id) p
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id AND ($collide)) p
        |WHERE rawcos >= 0.45
        |ORDER BY v1 ASC NULLS LAST, v2 ASC NULLS LAST, cos ASC NULLS LAST""".stripMargin
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q26_dedup_exact", q26, Some(q26Sql)),
