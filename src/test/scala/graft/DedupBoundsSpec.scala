@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hot-key bounds of the dedup pair generators, exercised with skewed
+  * fixtures shaped like the reference's skew generator
+  * (celeborn: toolkit/scripts/genSkewData.scala:21-36 — ~90 % of rows on
+  * one hot key):
+  *
+  *  - ngramJaccardPairs: a stop phrase shared by ~90 % of docs is
+  *    df-capped away BEFORE posting lists collect; planted near-dup
+  *    pairs (distinctive shingles, df = 2) survive.
+  *  - Dedup.boundedPairs: salting a crowded bucket into bounded
+  *    sub-cells is LOSSLESS (set-equal to the unsalted path) and the
+  *    observed max cell size respects the bound.
+  *  - simhashPairs / embedCosinePairs: the salted path returns exactly
+  *    the unsalted pair set on degenerate (all-identical-key) data.
+  */
+class DedupBoundsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Runs `action` and returns the named observed metric's row, waiting
+    * for the (async) QueryExecutionListener delivery. */
+  private def observedMetric[T](name: String)(action: => T): (T, Map[String, Any]) = {
+    @volatile var seen = Map.empty[String, Map[String, Any]]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        seen ++= qe.observedMetrics.map { case (n, row) =>
+          n -> row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val result = action
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (!seen.contains(name) && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.contains(name),
+        s"observed metric '$name' never arrived (saw: ${seen.keySet})")
+      (result, seen(name))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // ---- ngram df-cap ------------------------------------------------------
+
+  test("ngram df-cap drops the hot phrase, keeps planted near-dups, bounds postings") {
+    import spark.implicits._
+    // 90 % of docs: hot 5-word prefix (3 hot trigrams, df ≈ 0.9n) + unique
+    // gibberish tail. 10 %: planted duplicate pairs with distinctive text.
+    val hot = (0L until 450L).map(i =>
+      (i, s"the quick brown fox jumps u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val planted = (0L until 25L).flatMap(i => Seq(
+      (1000L + 2 * i, s"planted pair p${i}x p${i}y p${i}z p${i}w p${i}v p${i}u"),
+      (1001L + 2 * i, s"planted pair p${i}x p${i}y p${i}z p${i}w p${i}v p${i}u")))
+    val docs = (hot ++ planted).toDF("doc_id", "text")
+
+    val (rows, m) = observedMetric("q27_df_cap") {
+      graft.operators.Dedup.ngramJaccardPairs(docs, threshold = 0.5, dfCap = 50).collect()
+    }
+    assert(m("dropped_shingles") == 3L, s"hot trigrams must be capped: $m")
+    assert(m("max_df").asInstanceOf[Long] == 450L, s"unexpected df profile: $m")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 25L).map(i => (1000L + 2 * i, 1001L + 2 * i)).toSet
+    // identical planted texts → jac 1.0; hot docs share ONLY capped
+    // shingles → zero candidates among the 450 hot docs
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    rows.foreach(r => assert(r.getDouble(2) == 1.0))
+  }
+
+  test("ngram posting arrays stay within the df-cap") {
+    import spark.implicits._
+    // one planted duplicate keeps the result non-empty — an all-empty
+    // result lets AQE's empty-relation propagation collapse the final
+    // plan to a LocalTableScan, dropping CollectMetrics nodes (and their
+    // observed metrics) from the executed plan
+    val docs = ((0L until 200L).map(i =>
+      (i, s"shared stop phrase here u${i}a u${i}b u${i}c")) ++
+      Seq((900L, "planted dup q1 q2 q3 q4"), (901L, "planted dup q1 q2 q3 q4")))
+      .toDF("doc_id", "text")
+    val ((n, _), m) = observedMetric("q27_postings") {
+      val rows = graft.operators.Dedup
+        .ngramJaccardPairs(docs, threshold = 0.9, dfCap = 40).collect()
+      (rows.length, rows)
+    }
+    assert(n == 1, "planted dup pair must survive")
+    assert(m("max_posting").asInstanceOf[Int] <= 40, s"posting array over cap: $m")
+  }
+
+  // ---- boundedPairs losslessness + cell bound ----------------------------
+
+  test("boundedPairs salted path is lossless and bounds cell arrays") {
+    import spark.implicits._
+    // one hot key with 400 members, plus small keys that stay unsalted
+    val rows = ((0L until 400L).map(i => (0, i)) ++
+      (0L until 5L).map(i => (1, 100000L + i)))
+      .toDF("k", "id").select(col("k"), struct(col("id")).as("p"))
+    def run(maxGroup: Int) = {
+      val (pairs, m) = observedMetric("graft_pair_cells") {
+        graft.operators.Dedup.boundedPairs(rows, Seq("k"), "id", maxGroup)
+          .select(col("x.id").as("d1"), col("y.id").as("d2"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      (pairs, m("max_cell").asInstanceOf[Int])
+    }
+    val (unsalted, bigCell) = run(1000000)
+    assert(unsalted.size == 400 * 399 / 2 + 5 * 4 / 2)
+    assert(unsalted.forall { case (a, b) => a < b }, "pairs must be id-ordered")
+    assert(bigCell == 400, "unsalted hot key is one 400-element array")
+    val (salted, cell) = run(50)
+    assert(salted == unsalted, "salting must not lose or invent pairs")
+    // a (si, sj) cell holds at most two sub-groups of ~ceil(n/g) members;
+    // sub-group sizes are xxhash64-balanced, not exact — allow ~3x slack
+    // (400 ids over g=8 salts measured max 57 per salt → 114 per cell)
+    assert(cell <= 3 * 50, s"cell array $cell exceeds the salted bound")
+    assert(cell < 400 / 2, s"cell array $cell not meaningfully split")
+  }
+
+  // ---- simhash / embed salted end-to-end ----------------------------------
+
+  test("simhashPairs salted path equals unsalted on degenerate hot-bucket data") {
+    import spark.implicits._
+    // 120 identical docs → one simhash → every band's bucket is hot
+    val docs = ((0L until 120L).map(i => (i, "all these documents are exactly the same text")) ++
+      Seq((500L, "a completely different document about other things entirely")))
+      .toDF("doc_id", "text")
+    val unsalted = pairSet(graft.operators.Dedup.simhashPairs(docs, maxBucket = 1000000))
+    val salted = pairSet(graft.operators.Dedup.simhashPairs(docs, maxBucket = 20))
+    assert(unsalted.size == 120 * 119 / 2)
+    assert(salted == unsalted)
+  }
+
+  test("embedCosinePairs salted path equals unsalted on degenerate hot-bucket data") {
+    import spark.implicits._
+    // 80 identical unit-ish vectors (one bucket per table) + orthogonal noise
+    val base = Array.tabulate(64)(d => if (d == 0) 1.0f else 0.01f * (d % 3))
+    val other = Array.tabulate(64)(d => if (d == 63) 1.0f else 0.0f)
+    val vecs = (0L until 80L).map(i => (i, base)) :+ (900L, other)
+    val emb = vecs.toDF("vec_id", "embedding")
+    def run(maxBucket: Int) =
+      graft.operators.Dedup.embedCosinePairs(spark, emb, threshold = 0.9,
+          nTables = 4, bitsPerTable = 4, maxBucket = maxBucket)
+        .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = run(1000000)
+    val salted = run(16)
+    assert(unsalted.size == 80 * 79 / 2)
+    assert(salted == unsalted)
+  }
+}
