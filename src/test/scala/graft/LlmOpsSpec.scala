@@ -37,9 +37,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val lsh = SparkEntry.queries("q29_ann_lsh")(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = brute.count(lsh.contains).toDouble / brute.size
-    // single-probe 8-bit LSH on near-orthogonal synthetic vectors: modest
-    // recall is expected; this guards determinism and gross regressions
-    assert(recall >= 0.2, s"recall@5 $recall")
+    // 12x6-bit multiprobe LSH measures 0.94 on this fixture (tuning notes
+    // in Similarity.scala); 0.6 floor leaves headroom for re-tuning, not
+    // for a broken index
+    assert(recall >= 0.6, s"recall@5 $recall")
     assert(lsh == SparkEntry.queries("q29_ann_lsh")(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet,
       "LSH ANN must be deterministic")
@@ -51,12 +52,89 @@ class LlmOpsSpec extends AnyFunSuite {
     val ivf = SparkEntry.queries("q29_ann_ivf")(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
-    // probing 4/16 lists of near-orthogonal synthetic vectors: modest
-    // recall expected; guards determinism and gross regressions
-    assert(recall >= 0.2, s"recall@5 $recall")
+    // probing 10/16 lists measures 0.82 on this near-orthogonal fixture
+    // (tuning table in Similarity.scala); 0.6 floor catches a broken
+    // index while allowing re-tuning
+    assert(recall >= 0.6, s"recall@5 $recall")
     assert(ivf == SparkEntry.queries("q29_ann_ivf")(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet,
       "IVF ANN must be deterministic")
+  }
+
+  // ---- embedCosinePairs verification (doc-comment contract in Dedup) -----
+
+  /** Deterministic synthetic corpus: 100 random unit-scale vectors plus
+    * 40 planted near-dup pairs (a base vector and a small perturbation,
+    * cos ≥ 0.95 by construction — the production near-dup regime the
+    * 12×12 S-curve targets; the parquet fixture has no high-cos pairs). */
+  private def syntheticEmbeddings() = {
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val background = (0L until 100L).map(i => (i, vec()))
+    val planted = (0L until 40L).flatMap { i =>
+      val base = vec()
+      val near = base.map(v => v + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+      Seq((1000L + 2 * i, base), (1001L + 2 * i, near))
+    }
+    import spark.implicits._
+    ((background ++ planted).toDF("vec_id", "embedding"),
+      (0L until 40L).map(i => (1000L + 2 * i, 1001L + 2 * i)).toSet)
+  }
+
+  /** Exact all-pairs cosine via an independent brute-force formulation
+    * (crossJoin + dot_product — no banding code shared). */
+  private def exactPairs(emb: org.apache.spark.sql.DataFrame, threshold: Double) = {
+    graft.Graft.register(spark)
+    import org.apache.spark.sql.functions._
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (expr("dot_product(a.embedding, b.embedding)") /
+          (sqrt(expr("dot_product(a.embedding, a.embedding)")) *
+            sqrt(expr("dot_product(b.embedding, b.embedding)")))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  test("embed cosine banding recalls planted high-cos near-dups at the 12x12 defaults") {
+    val (emb, plantedIds) = syntheticEmbeddings()
+    val banded = graft.operators.Dedup.embedCosinePairs(spark, emb, threshold = 0.9)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairs(emb, 0.9)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedIds.subsetOf(exact), "planted pairs must sit above cos 0.9")
+    // verify step is exact, so banding can only lose pairs, never invent
+    assert(banded.subsetOf(exact), s"banded produced non-pairs: ${banded.diff(exact)}")
+    val recall = banded.count(plantedIds.contains).toDouble / plantedIds.size
+    // S-curve bound at cos 0.95 for 12 tables x 12 bits is ~0.98/pair
+    assert(recall >= 0.85, s"planted recall $recall over ${plantedIds.size} pairs")
+  }
+
+  test("q28_dedup_embed plans no driver materialization") {
+    val qe = SparkEntry.queries("q28_dedup_embed")(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"driver-materialized relation in plan:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      s"driver-built RDD in plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"expected distributed bucket exchange:\n$plan")
+  }
+
+  test("q28_dedup_embed banded output is a subset of the exact all-pairs result") {
+    // independent completeness cross-check at fixture scale: every banded
+    // pair must appear in the brute-force result with the same cosine.
+    // Banding at the fixture's 0.45 threshold is intentionally partial
+    // (Dedup doc-comment) — the measured recall is pinned so a silent
+    // drop fails loudly.
+    import org.apache.spark.sql.functions._
+    val banded = SparkEntry.queries("q28_dedup_embed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = exactPairs(Tables.t(spark, sf, "embeddings"), 0.45)
+      .select(col("v1"), col("v2"), round(col("cos"), 9).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded.subsetOf(exact),
+      s"banded pairs missing from exact result: ${banded.diff(exact)}")
+    assert(exact.size == 7 && banded.size == 5,
+      s"recall profile moved: banded ${banded.size} of exact ${exact.size}")
   }
 
   test("fingerprint duplicates match exact text duplicates") {
