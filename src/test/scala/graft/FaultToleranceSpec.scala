@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fault-tolerance differential tests: the result of a shuffle-heavy
+  * query must be IDENTICAL with and without injected task failures.
+  *
+  * This is the Spark-native mapping of the reference's fetch-failure
+  * suites (tests/spark-it/.../CelebornFetchFailureSuite.scala:66-374 —
+  * shuffle-read failure forces re-execution and the job result must not
+  * change): where the reference re-fetches from replicas or triggers
+  * shuffle re-registration, Spark recomputes the lost partition from
+  * lineage. The differential check is the same: hash-compare the result
+  * of a failure-injected run against a clean run.
+  *
+  * Two failure modes, mirroring SURVEY §2A rows 12-15/21:
+  *  - task retry: an exception on the FIRST attempt of one reduce task;
+  *    the scheduler re-runs that task (local[4,2] => maxFailures 2).
+  *  - fetch failure: a FetchFailedException in the reduce stage; the
+  *    DAGScheduler resubmits the upstream MAP stage and recomputes the
+  *    shuffle output from lineage before retrying the reduce.
+  */
+class FaultToleranceSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  /** A genuinely shuffle-heavy query: wide agg over lineitem joined to
+    * orders — one hash-partitioned exchange per side plus a final agg. */
+  private def shuffleHeavy(): DataFrame =
+    Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(Canon.dsum(col("l_quantity")).as("qty"),
+        Canon.dsum(col("l_extendedprice")).as("price"))
+      .join(Tables.t(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(Canon.dsum(col("qty")).as("sum_qty"),
+        Canon.dsum(col("price")).as("sum_price"),
+        count(lit(1)).as("n"))
+
+  private def canonical(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("task-retry differential: first-attempt failure does not change the result") {
+    val clean = canonical(shuffleHeavy())
+    val injected = shuffleHeavy()
+      .as[(String, Double, Double, Long)]
+      .mapPartitions { it =>
+        val tc = TaskContext.get()
+        // fail exactly the first attempt of reduce partition 0; the
+        // scheduler's retry (attemptNumber 1) passes through
+        if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException("graft: injected first-attempt failure")
+        it
+      }
+      .toDF("o_orderpriority", "sum_qty", "sum_price", "n")
+    assert(canonical(injected) == clean,
+      "retried result differs from clean run")
+  }
+
+  test("fetch-failure differential: map-stage recompute does not change the result") {
+    val clean = canonical(shuffleHeavy())
+    // RDD-level injection so the FetchFailedException can name a REAL
+    // shuffle id from this job's own lineage (nearest ShuffleDependency)
+    val rdd = shuffleHeavy().rdd
+    def nearestShuffle(r: org.apache.spark.rdd.RDD[_]): Int =
+      r.dependencies.collectFirst {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] => s.shuffleId
+      }.getOrElse(nearestShuffle(r.dependencies.head.rdd))
+    val sid = nearestShuffle(rdd)
+    val injected = rdd.mapPartitions { it =>
+      val tc = TaskContext.get()
+      // a FetchFailedException in stage attempt 0 makes the DAGScheduler
+      // resubmit the parent map stage (lineage recompute) and re-run
+      // this stage as attempt 1, which passes through
+      if (tc.partitionId() == 0 && tc.stageAttemptNumber() == 0)
+        org.apache.spark.graftinject.Inject.fetchFailed(sid,
+          tc.partitionId(), "graft: injected fetch failure")
+      it
+    }
+    assert(injected.collect().map(_.toString).sorted.toSeq == clean,
+      "result after map-stage recompute differs from clean run")
+  }
+}
