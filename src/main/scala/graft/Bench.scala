@@ -22,6 +22,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config(Tables.NanosConf, "true")
+      // explicit shuffle-transport integrity confs (reference iterates
+      // codecs per suite and checks CRCs; Spark analogues are context-
+      // static, so they are pinned here and covered by CodecSpec)
+      .config("spark.io.compression.codec", "lz4")
+      .config("spark.shuffle.checksum.enabled", "true")
+      .config("spark.shuffle.spill.compress", "true")
+      .config("spark.shuffle.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosConf, "true")
+      // same shuffle-integrity confs as Bench (see CodecSpec)
+      .config("spark.io.compression.codec", "lz4")
+      .config("spark.shuffle.checksum.enabled", "true")
+      .config("spark.shuffle.spill.compress", "true")
+      .config("spark.shuffle.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -55,11 +55,15 @@ object Relational {
 
   /** Q02 variants: the same round-trip through the other first-class
     * columnar/row sinks (ORC, CSV, JSON) — "multi-format" per SURVEY §2B
-    * G1. Count-only check: the content check is Q02's parquet hash. */
+    * G1. CONTENT check, not just count: the re-read (with the writer's
+    * schema applied, so text formats restore types) must reproduce the
+    * source's aggregates exactly — a type- or value-mangling round-trip
+    * fails the oracle hash. */
   private def q02fmt(fmt: String)(s: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory(s"graft_sink_q02_$fmt").toString
-    val w = q01(s, dir).write.mode("overwrite")
-    val r = s.read
+    val src = q01(s, dir)
+    val w = src.write.mode("overwrite")
+    val r = s.read.schema(src.schema)
     fmt match {
       case "orc"  => w.orc(out)
       case "csv"  => w.option("header", "true").csv(out)
@@ -70,8 +74,51 @@ object Relational {
       case "csv"  => r.option("header", "true").csv(out)
       case "json" => r.json(out)
     }
-    back.agg(count(lit(1)).as("n"))
+    back.agg(count(lit(1)).as("n"),
+      graft.Canon.dsum(col("l_quantity")).as("sum_qty"),
+      sum(col("l_orderkey")).as("sum_okey"),
+      countDistinct(col("l_orderkey")).as("n_keys"))
   }
+
+  private val q02fmtSql =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      |  SUM(l_orderkey) AS sum_okey,
+      |  COUNT(DISTINCT l_orderkey) AS n_keys
+      |FROM lineitem WHERE l_quantity > 30""".stripMargin
+
+  /** Q48 codec matrix: the reference runs its suites across LZ4/ZSTD/NONE
+    * (celeborn: tests/spark-it/.../SkewJoinSuite.scala:51-55,
+    * common/.../protocol/CompressionCodec.java). Spark's file-sink
+    * analogue is per-write parquet codecs: the same data is written under
+    * none/snappy/zstd/lz4/gzip and each re-read must reproduce the source
+    * aggregates bit-for-bit. CodecSpec additionally proves the files are
+    * genuinely codec-tagged and that sizes differ from `none`. */
+  private[graft] val ParquetCodecs = Seq("gzip", "lz4", "none", "snappy", "zstd")
+
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val src = q01(s, dir)
+    val perCodec = ParquetCodecs.map { c =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft_codec_$c").toString
+      src.write.mode("overwrite").option("compression", c).parquet(out)
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          graft.Canon.dsum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_okey"))
+        .select(lit(c).as("codec"), col("n"), col("sum_qty"), col("sum_okey"))
+    }
+    perCodec.reduce(_.unionAll(_)).orderBy(col("codec").asc_nulls_last)
+  }
+
+  private val q48Sql =
+    """SELECT c.codec, a.n, a.sum_qty, a.sum_okey
+      |FROM (VALUES ('gzip'),('lz4'),('none'),('snappy'),('zstd')) c(codec)
+      |CROSS JOIN (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      |    SUM(l_orderkey) AS sum_okey
+      |  FROM lineitem WHERE l_quantity > 30) a
+      |ORDER BY c.codec ASC NULLS LAST""".stripMargin
 
   // ---- G2: repartition / exchange ---------------------------------------
 
@@ -458,9 +505,10 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_filter", q01, Some(q01Sql)),
     QueryDef("q02_sink_roundtrip", q02, Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
-    QueryDef("q02_sink_orc", q02fmt("orc"), Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
-    QueryDef("q02_sink_csv", q02fmt("csv"), Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
-    QueryDef("q02_sink_json", q02fmt("json"), Some("SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 30")),
+    QueryDef("q02_sink_orc", q02fmt("orc"), Some(q02fmtSql)),
+    QueryDef("q02_sink_csv", q02fmt("csv"), Some(q02fmtSql)),
+    QueryDef("q02_sink_json", q02fmt("json"), Some(q02fmtSql)),
+    QueryDef("q48_codec_matrix", q48, Some(q48Sql)),
     QueryDef("q03_repartition_hash", q03, Some(q03Sql)),
     QueryDef("q04_repartition_rr", q04, Some(q04Sql)),
     QueryDef("q05_orderby_range", q05, Some(q05Sql)),
