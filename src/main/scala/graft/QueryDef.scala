@@ -29,5 +29,6 @@ object Registry {
       operators.Analytics.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
+      streaming.RateLimited.defs ++
       operators.Udfs.defs
 }

@@ -251,4 +251,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"streamed ${streamed.size} sessions vs batch ${batch.size}")
   }
+
+  test("maxFilesPerTrigger throttles intake into >=3 micro-batches, result batch-identical") {
+    // credit-based flow-control analogue (graft.streaming.RateLimited):
+    // 6 files admitted 1 per trigger must take >=3 non-empty micro-batches
+    // and still produce exactly the unthrottled batch aggregate
+    val ev = Tables.t(spark, sf, "events")
+    val src = java.nio.file.Files.createTempDirectory("graft_rate_spec").toString
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+    val (result, batches) =
+      graft.streaming.RateLimited.runThrottled(spark, src, ev.schema, 1) {
+        _.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Canon.dsum(col("value"), 6).as("sum_value"))
+      }
+    assert(batches >= 3, s"expected >=3 throttled micro-batches, got $batches")
+    val streamed = result.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Canon.dsum(col("value"), 6).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, "throttled stream result differs from batch")
+  }
 }
