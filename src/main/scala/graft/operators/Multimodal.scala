@@ -86,9 +86,10 @@ object Multimodal {
       |  md5(text) AS checksum
       |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
-  /** Decoded-feature aggregate per media type (runs the stub decoder
-    * through the typed pipeline; no SQL oracle — covered by
-    * MultimodalSpec against a local recomputation). */
+  /** Decoded-feature aggregate per media type, running the stub decoder
+    * through the typed pipeline. Oracle-checked: the stub's "brightness"
+    * (mean byte value / 255) is DuckDB-expressible by hex-expanding the
+    * payload — see q34decodeSql. */
   private def q34decode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decodePipeline(s, dir)
@@ -99,6 +100,36 @@ object Multimodal {
         graft.Canon.dsum(col("brightness"), 9).as("sum_brightness"))
       .orderBy(col("media_type").asc_nulls_last)
   }
+
+  /** DuckDB replay of the stub decoder: hex() the payload, unnest one row
+    * per byte, parse each hex pair back to its byte value, and rebuild
+    * brightness = (byte_sum / n_bytes) / 255 with the same double
+    * division order as `decodeFrame`. Empty payloads (no unnested rows)
+    * rejoin via LEFT JOIN with brightness 0, matching the stub. */
+  private val q34decodeSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    hex(text::BLOB) AS hx,
+      |    octet_length(text::BLOB) AS nb
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, hx, unnest(generate_series(1, nb)) AS i FROM m),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS bytesum
+      |  FROM e GROUP BY doc_id),
+      |b AS (
+      |  SELECT m.doc_id, m.media_type, m.nb,
+      |    CASE WHEN m.nb = 0 THEN 0.0
+      |         ELSE COALESCE(s.bytesum, 0) * 1.0 / m.nb / 255.0 END AS brightness
+      |  FROM m LEFT JOIN s USING (doc_id))
+      |SELECT media_type,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(nb // 64 + 1) AS BIGINT) AS total_frames,
+      |  CAST(SUM(CAST(brightness AS DECIMAL(28,9))) AS DOUBLE) AS sum_brightness
+      |FROM b GROUP BY media_type ORDER BY media_type ASC NULLS LAST""".stripMargin
 
   /** Resized/frame-sampled media record (what a resize + every-3rd-frame
     * sampling stage would emit). */
@@ -150,6 +181,6 @@ object Multimodal {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_media_meta", q34meta, Some(q34metaSql)),
-    QueryDef("q34_media_decode", q34decode, None),
+    QueryDef("q34_media_decode", q34decode, Some(q34decodeSql)),
     QueryDef("q34_media_resize", q34resize, Some(q34resizeSql)))
 }

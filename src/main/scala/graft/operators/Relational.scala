@@ -450,9 +450,12 @@ object Relational {
       round(abs(col("l_discount") - 0.05), 4).as("ad"),
       concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("rl"))
     // NOTE: the range sort runs its child twice (sample pass + sort pass),
-    // so the 3-way join executes twice. A repartition() barrier between
-    // join and sort was measured SLOWER (extra 600k-row shuffle write+read
-    // costs more than the join re-execution) — keep the direct plan.
+    // so the 3-way join executes twice. Re-measured r4 at two scales
+    // (medians of 3, local[32]): sf0.1 direct 2.99s vs barrier 2.22s, but
+    // at 10x (6M-row lineitem) direct 3.79s vs barrier 7.13s — the extra
+    // full shuffle of the wide projection grows linearly with data while
+    // the re-executed sample pass stays cheap (broadcast dim + AQE).
+    // Since the target is cluster scale, keep the direct plan.
     j.select(cols: _*)
       .orderBy(cols.indices.map(i => col(Seq("up_brand", "len_name", "yr", "mo", "rp", "ad", "rl")(i)).asc_nulls_last): _*)
   }

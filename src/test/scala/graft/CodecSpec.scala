@@ -62,6 +62,28 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle I/O encryption round-trips; ciphertext unreadable without the key") {
+    // SURVEY §2A row 23 (celeborn SparkCryptoHandler.java): AES on shuffle
+    // payloads under spark.io.encryption.enabled. The conf is
+    // context-static, so the crypto streams are proven at unit level like
+    // the transport codecs.
+    import org.apache.spark.graftinject.ShuffleCrypto
+    val conf = ShuffleCrypto.conf()
+    val key = ShuffleCrypto.createKey(conf)
+    val ciphertext = ShuffleCrypto.encrypt(conf, key, sample)
+    assert(!java.util.Arrays.equals(ciphertext, sample), "payload left in cleartext")
+    // the IV-prefixed frame must not contain the plaintext anywhere
+    assert(!new String(ciphertext, "ISO-8859-1").contains("row-1:"),
+      "plaintext fragment visible in encrypted stream")
+    assert(java.util.Arrays.equals(ShuffleCrypto.decrypt(conf, key, ciphertext), sample),
+      "decrypt with the right key must restore the payload")
+    val wrongKey = ShuffleCrypto.createKey(conf)
+    val wrong =
+      try !java.util.Arrays.equals(ShuffleCrypto.decrypt(conf, wrongKey, ciphertext), sample)
+      catch { case _: Exception => true }
+    assert(wrong, "wrong key must not decrypt to the original payload")
+  }
+
   test("corrupted zstd shuffle stream is detected, not silently mis-decoded") {
     val compressed = ShuffleCodecs.compress("zstd", sample)
     // flip a byte in the middle of the frame body

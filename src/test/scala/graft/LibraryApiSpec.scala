@@ -57,6 +57,25 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((1, 1L), (2, 2L)), s"ranking wrong: ${top.toSeq}")
   }
 
+  test("embedCosinePairs honors custom nTables/bitsPerTable/maxBucket on a custom frame") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = vec()
+    val near = base.map(v => v + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    val emb = (Seq((1L, base), (2L, near)) ++ (3L to 20L).map(i => (i, vec())))
+      .toDF("vec_id", "embedding")
+    // non-default banding: 4 tables × 8 bits. The planted pair sits at
+    // cos ≈ 0.999, so per-table collision is ~0.92 and the 4-table miss
+    // probability ~4e-5 — deterministic planes make the run repeatable.
+    // The verify step is exact, so the random background cannot produce
+    // false pairs at 0.95 regardless of banding parameters.
+    val pairs = Dedup.embedCosinePairs(spark, emb, threshold = 0.95,
+      nTables = 4, bitsPerTable = 8, maxBucket = 16)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the planted pair: $pairs")
+  }
+
   test("corpusClean keeps monotonically fewer docs as the threshold rises") {
     def kept(t: Double): Long =
       Pipeline.corpusClean(docsDf, qualityThreshold = t)

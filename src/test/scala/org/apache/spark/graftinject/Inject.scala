@@ -41,6 +41,44 @@ object ShuffleCodecs {
   }
 }
 
+/** Test-only reach into Spark's private[spark] I/O encryption layer
+  * (org.apache.spark.security.CryptoStreamUtils) — the machinery behind
+  * spark.io.encryption.enabled, which is context-static and therefore
+  * proven at unit level in CodecSpec, like the transport codecs above.
+  * Maps the reference's AES push-payload encryption
+  * (celeborn: client-spark/common/.../SparkCryptoHandler.java). */
+object ShuffleCrypto {
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import org.apache.spark.SparkConf
+  import org.apache.spark.security.CryptoStreamUtils
+
+  def conf(): SparkConf = new SparkConf(false)
+    .set("spark.io.encryption.enabled", "true")
+
+  def createKey(c: SparkConf): Array[Byte] = CryptoStreamUtils.createKey(c)
+
+  def encrypt(c: SparkConf, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val os = CryptoStreamUtils.createCryptoOutputStream(bos, c, key)
+    os.write(data); os.close()
+    bos.toByteArray
+  }
+
+  def decrypt(c: SparkConf, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val is = CryptoStreamUtils.createCryptoInputStream(
+      new ByteArrayInputStream(data), c, key)
+    try is.readAllBytes() finally is.close()
+  }
+}
+
+/** Test-only reach into the private[spark] listener bus: SpillSpec must
+  * drain queued SparkListenerTaskEnd events before reading its spill
+  * accumulator, and `SparkContext.listenerBus` is not public API. */
+object ListenerSync {
+  def waitUntilEmpty(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+}
+
 object Inject {
   /** Throw a fetch failure for a REAL shuffle id (a made-up id crashes the
     * DAGScheduler's event loop: shuffleIdToMapStage lookup fails). A null
