@@ -26,6 +26,7 @@ object Registry {
       operators.Multimodal.defs ++
       operators.Pipeline.defs ++
       operators.TemporalJoins.defs ++
+      operators.Bucketing.defs ++
       operators.Analytics.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

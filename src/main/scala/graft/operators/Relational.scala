@@ -326,10 +326,18 @@ object Relational {
     * skew split enabled in session; celeborn: SkewJoinSuite.scala:47-110,
     * CelebornPartitionUtil.java:60-100). */
   private def q16(s: SparkSession, dir: String): DataFrame = {
-    val l = t(s, dir, "lineitem")
+    // genSkewData-shaped fact side (celeborn: toolkit/scripts/
+    // genSkewData.scala:21-36): 90 % of lineitem rows are deterministically
+    // funneled onto hot key 1 (which exists in orders), so the join's
+    // exchange partition for key 1 carries ~9x the average load while the
+    // dim side stays unique-keyed. The AQE skew-split plan assert (with
+    // thresholds tuned so the split actually fires at test scale) lives
+    // in SkewSpec; here the skewed join must stay oracle-exact.
+    val l = t(s, dir, "lineitem").withColumn("k",
+      when(col("l_orderkey") % 10 =!= 0, lit(1L)).otherwise(col("l_orderkey")))
     val o = t(s, dir, "orders")
     l.hint("merge")
-      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(o, col("k") === o("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_last)
@@ -337,7 +345,9 @@ object Relational {
 
   private val q16Sql =
     s"""SELECT o_orderstatus, COUNT(*) AS n_rows, ${sqlDsum("l_extendedprice")} AS sum_price
-       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |FROM (SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,
+       |        l_extendedprice FROM lineitem) l
+       |JOIN orders ON l.k = o_orderkey
        |GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin
 
   /** Q17 theta join: equi key + non-equi residual. */
