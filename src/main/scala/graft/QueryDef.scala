@@ -31,5 +31,6 @@ object Registry {
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
       streaming.RateLimited.defs ++
+      streaming.StreamJoin.defs ++
       operators.Udfs.defs
 }

@@ -50,17 +50,22 @@ object RateLimited {
     * micro-batch progress assertion lives in StreamingSpec. */
   /** The 6-file re-layout of `events` is input preparation, not the
     * operator under test — memoize it per sf dir so repeated bench
-    * iterations measure the throttled read, not the rewrite. */
+    * iterations (and other streaming queries, e.g. q51) measure the
+    * throttled read, not the rewrite. */
   private val srcLayouts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def q49(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.t(s, dir, "events")
-    val src = srcLayouts.computeIfAbsent(dir, { _ =>
+  /** Events of `dir` re-laid-out as 6 parquet files, built once per JVM. */
+  def sourceLayout(s: SparkSession, dir: String): String =
+    srcLayouts.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_rate_src").toString
-      ev.repartition(6).write.mode("overwrite").parquet(d)
+      Tables.t(s, dir, "events").repartition(6).write.mode("overwrite").parquet(d)
       d
     })
+
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events")
+    val src = sourceLayout(s, dir)
     val (result, _) = runThrottled(s, src, ev.schema, maxFilesPerTrigger = 2) {
       _.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), Canon.dsum(col("value"), 6).as("sum_value"))

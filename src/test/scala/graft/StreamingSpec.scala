@@ -272,4 +272,26 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed == batch, "throttled stream result differs from batch")
   }
+
+  test("stream-stream click->purchase join emits exactly the batch interval-join pairs") {
+    val ev = Tables.t(spark, sf, "events")
+    val src = graft.streaming.RateLimited.sourceLayout(spark, sf)
+    val pairs = graft.streaming.StreamJoin
+      .clickPurchasePairs(spark, src, ev.schema, "35 days", maxFilesPerTrigger = 2)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().map(_.toString).sorted.toSeq
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") > col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pairs.nonEmpty, "fixture must produce at least one attribution pair")
+    assert(pairs == batch, "streamed join pairs differ from batch interval join")
+  }
 }
