@@ -34,14 +34,24 @@ object RateLimited {
     * (AvailableNow: drain everything pending, honoring the throttle,
     * then stop) and return (result table, number of non-empty batches). */
   def runThrottled(s: SparkSession, srcDir: String, schema: StructType,
-      maxFilesPerTrigger: Int)(agg: DataFrame => DataFrame): (DataFrame, Int) = {
-    val tbl = "graft_rate_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg(throttledStream(s, srcDir, schema, maxFilesPerTrigger))
-      .writeStream.format("memory").queryName(tbl)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val batches = q.recentProgress.count(_.numInputRows > 0)
-    (s.table(tbl), batches)
+      maxFilesPerTrigger: Int, statePartitions: Int = 8)
+      (agg: DataFrame => DataFrame): (DataFrame, Int) = {
+    // state partitioning is captured from spark.sql.shuffle.partitions at
+    // query start; every micro-batch commits one agg state store per
+    // partition, so scope it to the streaming state size (tiny here) and
+    // restore after — see StreamJoin.clickPurchasePairs for the same knob
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions.toString)
+    try {
+      val tbl = "graft_rate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg(throttledStream(s, srcDir, schema, maxFilesPerTrigger))
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      (s.table(tbl), batches)
+    } finally s.conf.set(key, prev)
   }
 
   /** q49: events re-laid-out as 6 files, streamed 2 files per trigger
@@ -60,6 +70,18 @@ object RateLimited {
     srcLayouts.computeIfAbsent(dir, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_rate_src").toString
       Tables.t(s, dir, "events").repartition(6).write.mode("overwrite").parquet(d)
+      d
+    })
+
+  /** One event type of `dir` as its own 6-file stream source (a "topic"
+    * per type — the two sides of a stream-stream join are independent
+    * streams, and each side should scan only its own data). */
+  def typedLayout(s: SparkSession, dir: String, eventType: String): String =
+    srcLayouts.computeIfAbsent(s"$dir#$eventType", { _ =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft_rate_$eventType").toString
+      Tables.t(s, dir, "events")
+        .where(org.apache.spark.sql.functions.col("event_type") === eventType)
+        .repartition(6).write.mode("overwrite").parquet(d)
       d
     })
 

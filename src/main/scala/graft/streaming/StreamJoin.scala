@@ -27,20 +27,39 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoin {
 
-  /** Clicks ⋈ purchases as watermarked streams over a throttled file
-    * source; returns the joined pairs via a memory sink (append mode —
-    * the only mode stream-stream inner joins support). */
-  def clickPurchasePairs(s: SparkSession, srcDir: String,
+  /** Clicks ⋈ purchases as two independent watermarked throttled file
+    * streams (a "topic" per side — each scans only its own events);
+    * returns the joined pairs via a memory sink (append mode — the only
+    * mode stream-stream inner joins support). */
+  def clickPurchasePairs(s: SparkSession, clickSrc: String, purchaseSrc: String,
+      schema: org.apache.spark.sql.types.StructType,
+      watermarkDelay: String, maxFilesPerTrigger: Int,
+      statePartitions: Int = 8): DataFrame = {
+    // State partitioning is captured from spark.sql.shuffle.partitions at
+    // query START and each micro-batch commits 4 join state stores per
+    // partition — at local test scale 32 partitions × 3 batches × 4
+    // stores is pure commit overhead, so scope the conf down for the
+    // stream's lifetime and restore after. On a real cluster this is the
+    // knob sized to executor count (state stores spread across workers).
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, statePartitions.toString)
+    try clickPurchasePairsInner(s, clickSrc, purchaseSrc, schema,
+      watermarkDelay, maxFilesPerTrigger)
+    finally s.conf.set(key, prev)
+  }
+
+  private def clickPurchasePairsInner(s: SparkSession,
+      clickSrc: String, purchaseSrc: String,
       schema: org.apache.spark.sql.types.StructType,
       watermarkDelay: String, maxFilesPerTrigger: Int): DataFrame = {
-    def side(tpe: String, tsAlias: String) =
-      RateLimited.throttledStream(s, srcDir, schema, maxFilesPerTrigger)
-        .where(col("event_type") === tpe)
+    def side(src: String, tsAlias: String) =
+      RateLimited.throttledStream(s, src, schema, maxFilesPerTrigger)
         .select(col("user_id"), col("ts").as(tsAlias), col("event_id"))
         .withWatermark(tsAlias, watermarkDelay)
-    val clicks = side("click", "click_ts")
+    val clicks = side(clickSrc, "click_ts")
       .withColumnRenamed("event_id", "click_id")
-    val purchases = side("purchase", "p_ts")
+    val purchases = side(purchaseSrc, "p_ts")
       .withColumnRenamed("user_id", "p_user")
       .withColumnRenamed("event_id", "purchase_id")
     val joined = clicks.join(purchases,
@@ -58,8 +77,9 @@ object StreamJoin {
     * equal to the batch interval join (DuckDB oracle). */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.t(s, dir, "events")
-    val src = RateLimited.sourceLayout(s, dir)
-    val pairs = clickPurchasePairs(s, src, ev.schema,
+    val clickSrc = RateLimited.typedLayout(s, dir, "click")
+    val purchaseSrc = RateLimited.typedLayout(s, dir, "purchase")
+    val pairs = clickPurchasePairs(s, clickSrc, purchaseSrc, ev.schema,
       watermarkDelay = "35 days", maxFilesPerTrigger = 2)
     pairs.groupBy((col("user_id") % 10).as("user_bucket"))
       .agg(count(lit(1)).as("n_pairs"),

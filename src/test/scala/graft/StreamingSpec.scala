@@ -275,9 +275,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-stream click->purchase join emits exactly the batch interval-join pairs") {
     val ev = Tables.t(spark, sf, "events")
-    val src = graft.streaming.RateLimited.sourceLayout(spark, sf)
+    val clickSrc = graft.streaming.RateLimited.typedLayout(spark, sf, "click")
+    val purchaseSrc = graft.streaming.RateLimited.typedLayout(spark, sf, "purchase")
     val pairs = graft.streaming.StreamJoin
-      .clickPurchasePairs(spark, src, ev.schema, "35 days", maxFilesPerTrigger = 2)
+      .clickPurchasePairs(spark, clickSrc, purchaseSrc, ev.schema,
+        "35 days", maxFilesPerTrigger = 2)
       .select(col("user_id"), col("click_id"), col("purchase_id"))
       .collect().map(_.toString).sorted.toSeq
     val clicks = ev.where(col("event_type") === "click")
