@@ -27,6 +27,7 @@ object Registry {
       operators.Pipeline.defs ++
       operators.TemporalJoins.defs ++
       operators.Bucketing.defs ++
+      operators.Decontam.defs ++
       operators.Analytics.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

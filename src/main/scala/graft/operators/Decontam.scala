@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators a 100 TB pipeline runs after dedup:
+  * benchmark decontamination and stratified corpus mixing.
+  *
+  * Both are pure DataFrame plans with exact integer semantics, so the
+  * DuckDB oracle replays them bit-for-bit — no tolerance, no replayed
+  * internals.
+  */
+object Decontam {
+
+  /** PUBLIC API — n-gram containment of each corpus doc against a
+    * benchmark document set (train/test-overlap decontamination:
+    * a corpus doc whose 3-gram shingles are mostly contained in a
+    * benchmark doc leaks evaluation data into training).
+    *
+    * Plan shape at scale: the benchmark shingle set is SMALL by
+    * construction (benchmarks are MBs, the corpus is TBs), so it
+    * broadcasts; the corpus side shingle-explodes, left-joins the
+    * broadcast set, and aggregates per doc — one wide shuffle keyed by
+    * doc_id, no shuffle of the corpus by shingle.
+    *
+    * Containment is kept in exact integers: bucket = (hits * 10) div
+    * shingles, so the oracle needs no float tolerance. */
+  def contaminationBuckets(docs: DataFrame,
+      isBenchmark: org.apache.spark.sql.Column): DataFrame = {
+    val sh = Dedup.shingledHashed(docs)
+      .join(docs.select(col("doc_id"), isBenchmark.as("is_bench")), "doc_id")
+    val bench = sh.where(col("is_bench")).select(col("sh")).distinct()
+    val corpus = sh.where(!col("is_bench"))
+    corpus
+      .join(broadcast(bench.withColumn("hit", lit(1L))), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .groupBy(expr("(n_hit * 10) div n_sh").cast("int").as("containment_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("total_shingles"),
+        sum(col("n_hit")).as("total_hits"))
+  }
+
+  /** q52: docs with doc_id % 50 == 0 act as the benchmark set. */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    contaminationBuckets(Tables.t(s, dir, "documents"), col("doc_id") % 50 === 0)
+      .orderBy(col("containment_bucket").asc_nulls_last)
+
+  private val q52Sql =
+    """WITH d AS (
+      |  SELECT doc_id, unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |    FOR i IN range(1, len(s) - 1)])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      |bench AS (SELECT DISTINCT sh FROM d WHERE doc_id % 50 = 0),
+      |per AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_sh,
+      |    SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |  FROM (SELECT doc_id, sh FROM d WHERE doc_id % 50 <> 0) c
+      |  LEFT JOIN bench b ON c.sh = b.sh
+      |  GROUP BY c.doc_id)
+      |SELECT CAST((n_hit * 10) // n_sh AS INT) AS containment_bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+      |  CAST(SUM(n_hit) AS BIGINT) AS total_hits
+      |FROM per GROUP BY containment_bucket
+      |ORDER BY containment_bucket ASC NULLS LAST""".stripMargin
+
+  /** PUBLIC API — stratified corpus mix: per-stratum hash-mod sampling
+    * rates (data-mixing weights) followed by a per-stratum quota cap.
+    *
+    * The sampling key is md5(doc_id) — a STABLE hash, so the sample is
+    * reproducible across runs, clusters, and engines (the property that
+    * matters when a 100 TB mix must be re-derivable); rate changes are
+    * monotone (raising a stratum's rate only adds docs). The quota cap
+    * is a ranking window per stratum — bounded state, no global sort. */
+  def stratifiedMix(docs: DataFrame, rates: Map[String, Int],
+      defaultRate: Int, quota: Int): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    val sampled = docs
+      .withColumn("hmod",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100"))
+      .withColumn("rate", rateCol)
+      .where(col("hmod") < col("rate"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+    sampled
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(size(split(col("text"), " "))).as("total_toks"))
+  }
+
+  /** q53: en kept at 60 %, de/fr at 30 %, everything else at 10 %,
+    * capped at 50 docs per language. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    stratifiedMix(Tables.t(s, dir, "documents"),
+      Map("en" -> 60, "de" -> 30, "fr" -> 30), defaultRate = 10, quota = 50)
+      .orderBy(col("lang").asc_nulls_last)
+
+  private val q53Sql =
+    """WITH sampled AS (
+      |  SELECT doc_id, lang, text
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 <
+      |    CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 WHEN 'fr' THEN 30 ELSE 10 END),
+      |ranked AS (
+      |  SELECT doc_id, lang, text,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rk
+      |  FROM sampled)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+      |FROM ranked WHERE rk <= 50
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q52_contamination", q52, Some(q52Sql)),
+    QueryDef("q53_stratified_mix", q53, Some(q53Sql)))
+}

@@ -85,6 +85,38 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(kept(0.0) == 5L, s"expected 5 kept (6 minus 1 dup): ${kept(0.0)}")
   }
 
+  test("contaminationBuckets flags docs contained in the benchmark set") {
+    import graft.operators.Decontam
+    // doc 1 (15 tokens -> 13 distinct 3-shingles) is the benchmark;
+    // doc 6 is its exact copy (containment 1.0, bucket 10); doc 2 edits
+    // the LAST token (1 changed shingle, 12/13 -> bucket 9); doc 4 edits
+    // token 1 (2 changed shingles, 11/13 -> bucket 8); docs 3/5 share
+    // nothing (bucket 0)
+    val out = Decontam.contaminationBuckets(docsDf, col("doc_id") === 1)
+    val buckets = out.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(buckets == Map(10 -> 1L, 9 -> 1L, 8 -> 1L, 0 -> 2L),
+      s"bucket profile: $buckets")
+    // the benchmark shingle set must join via broadcast — the corpus
+    // side must never shuffle by shingle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
+  }
+
+  test("stratifiedMix applies per-stratum rates and the quota cap") {
+    import graft.operators.Decontam
+    val all = Decontam.stratifiedMix(docsDf,
+      Map("en" -> 100), defaultRate = 0, quota = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(all == Map("en" -> 6L), s"rate 100 must keep every doc: $all")
+    val capped = Decontam.stratifiedMix(docsDf,
+      Map("en" -> 100), defaultRate = 0, quota = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(capped == Map("en" -> 2L), s"quota 2 must cap the stratum: $capped")
+    val none = Decontam.stratifiedMix(docsDf,
+      Map.empty, defaultRate = 0, quota = 100).count()
+    assert(none == 0L, "rate 0 must keep nothing")
+  }
+
   test("langId works on any conforming frame") {
     val out = TextAnalysis.langId(docsDf)
     assert(out.count() == 6)
