@@ -273,6 +273,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "throttled stream result differs from batch")
   }
 
+  test("restart from checkpoint resumes offsets and restores dedup state exactly-once") {
+    // The reference's recovery story is re-fetch/re-register around a
+    // persistent shuffle layout; Structured Streaming's is the
+    // checkpoint: offsets (which files were admitted) + state store
+    // (which ids were seen) both survive a query restart. Phase 2
+    // re-delivers EVERY phase-1 id in fresh files — only restored state
+    // can keep them out of the sink.
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_meta").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(src)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: the even half of the corpus
+    ev.where(col("event_id") % 2 === 0).repartition(3)
+      .write.mode("append").parquet(src)
+    runOnce()
+    val phase1 = spark.read.parquet(out).count()
+    assert(phase1 == ev.where(col("event_id") % 2 === 0).count(),
+      "phase 1 must emit each even id exactly once")
+    // phase 2: the FULL corpus again in new files (every even id is a
+    // redelivery; odd ids are new)
+    ev.repartition(3).write.mode("append").parquet(src)
+    runOnce()
+    val result = spark.read.parquet(out)
+    assert(result.count() == ev.count(),
+      s"restart emitted duplicates or lost rows: ${result.count()} vs ${ev.count()}")
+    assert(result.select(col("event_id")).distinct().count() == ev.count(),
+      "sink must hold each event id exactly once across the restart")
+  }
+
   test("stream-stream click->purchase join emits exactly the batch interval-join pairs") {
     val ev = Tables.t(spark, sf, "events")
     val clickSrc = graft.streaming.RateLimited.typedLayout(spark, sf, "click")
