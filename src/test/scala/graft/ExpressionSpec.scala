@@ -70,6 +70,33 @@ class ExpressionSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("GraftExtensions registers the SQL functions via withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // materialize the shared session (and its context) first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // fresh session object over the same SparkContext: getOrCreate only
+      // applies extensions when it constructs a new SparkSession
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne orig, "expected a fresh session for extension injection")
+      val r = s2.sql(
+        """SELECT cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+          |                  array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c,
+          |       dot_product(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+          |                   array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d""".stripMargin)
+        .collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12, s"cosine: ${r.getDouble(0)}")
+      assert(r.getDouble(1) == 11.0, s"dot: ${r.getDouble(1)}")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     Graft.register(spark)
     val e = Tables.t(spark, sf, "embeddings").limit(10)
