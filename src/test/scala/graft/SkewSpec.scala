@@ -58,4 +58,30 @@ class SkewSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("AQE coalesces tiny shuffle partitions (split's counterpart, §2A row 11)") {
+    // the reference splits oversized partition files and drains/merges
+    // small ones (PartitionSplit SOFT/HARD); Spark's runtime counterpart
+    // in the shrink direction is AQE partition coalescing — a tiny
+    // aggregate shuffled over the session's full partition count must
+    // execute with far fewer post-shuffle partitions
+    val confs = Map(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = Tables.t(spark, sf, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val rows = agg.collect()
+      assert(rows.nonEmpty)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"AQE did not coalesce the tiny shuffle:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
