@@ -29,6 +29,14 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry is well-formed: unique names, every oracle names a query") {
+    val names = Registry.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: $dups")
+    val orphanOracles = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
+  }
+
   test("every registered query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
