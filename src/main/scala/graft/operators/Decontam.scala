@@ -19,11 +19,14 @@ object Decontam {
     * a corpus doc whose 3-gram shingles are mostly contained in a
     * benchmark doc leaks evaluation data into training).
     *
-    * Plan shape at scale: the benchmark shingle set is SMALL by
-    * construction (benchmarks are MBs, the corpus is TBs), so it
-    * broadcasts; the corpus side shingle-explodes, left-joins the
-    * broadcast set, and aggregates per doc — one wide shuffle keyed by
-    * doc_id, no shuffle of the corpus by shingle.
+    * Plan shape at scale (verified against the executed plan): the
+    * benchmark predicate pushes into both scans; the benchmark shingle
+    * set is SMALL by construction (benchmarks are MBs, the corpus is
+    * TBs), so it broadcasts; the corpus side shingle-explodes,
+    * left-joins the broadcast set, and aggregates per doc. The corpus
+    * shuffles twice — the (doc_id, shingle) distinct and the per-doc
+    * aggregate — but never keyed by shingle alone, so a hot shingle
+    * cannot skew a partition.
     *
     * Containment is kept in exact integers: bucket = (hits * 10) div
     * shingles, so the oracle needs no float tolerance. */
@@ -75,7 +78,13 @@ object Decontam {
     * reproducible across runs, clusters, and engines (the property that
     * matters when a 100 TB mix must be re-derivable); rate changes are
     * monotone (raising a stratum's rate only adds docs). The quota cap
-    * is a ranking window per stratum — bounded state, no global sort. */
+    * is a ranking window per stratum — bounded state, no global sort.
+    *
+    * Plan shape (verified): the sampling predicate evaluates at the scan,
+    * and the quota compiles to partial+final WindowGroupLimit — each map
+    * task keeps at most `quota` rows per stratum BEFORE the single
+    * per-stratum exchange, so the shuffle carries O(strata × quota) rows
+    * regardless of corpus size. */
   def stratifiedMix(docs: DataFrame, rates: Map[String, Int],
       defaultRate: Int, quota: Int): DataFrame = {
     val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
