@@ -28,6 +28,7 @@ object Registry {
       operators.TemporalJoins.defs ++
       operators.Bucketing.defs ++
       operators.Decontam.defs ++
+      operators.Evolution.defs ++
       operators.Analytics.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

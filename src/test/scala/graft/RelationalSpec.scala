@@ -37,6 +37,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(orphanOracles.isEmpty, s"oracles without queries: $orphanOracles")
   }
 
+  test("mergeSchema read unions generations; evolved column is null only for v1 rows") {
+    import org.apache.spark.sql.functions.col
+    val base = operators.Evolution.evolvedLayout(spark, sf)
+    val df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert(df.columns.contains("o_orderstatus"), "evolved column missing from merged schema")
+    assert(df.columns.contains("gen"), "generation partition column missing")
+    assert(df.where(col("gen") === 1 && col("o_orderstatus").isNotNull).count() == 0,
+      "v1 rows must surface the evolved column as NULL")
+    assert(df.where(col("gen") === 2 && col("o_orderstatus").isNull).count() == 0,
+      "v2 rows must keep their o_orderstatus")
+  }
+
   test("every registered query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
