@@ -27,8 +27,10 @@ object Registry {
       operators.Pipeline.defs ++
       operators.TemporalJoins.defs ++
       operators.Bucketing.defs ++
+      operators.Clusters.defs ++
       operators.Decontam.defs ++
       operators.Evolution.defs ++
+      operators.Packing.defs ++
       operators.Analytics.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair sets — the step that
+  * turns pairwise dedup output (q27/q28) into per-document keep/drop
+  * decisions. Without it a dedup pipeline double-drops transitive
+  * duplicates: pairs (a,b) and (b,c) must collapse to ONE cluster
+  * {a,b,c} keeping exactly one canonical doc, not two independent drops.
+  *
+  * Algorithm: iterated min-label propagation (each node takes the min of
+  * its own and its neighbours' labels) to a fixpoint. Converges in
+  * O(graph diameter) rounds; near-dup clusters are dense (near-cliques
+  * of mutual high-Jaccard pairs), so the diameter is small — 2 rounds on
+  * the fixture, single digits on real corpora. For adversarial
+  * long-chain graphs the O(log n) alternating large-star/small-star
+  * scheme (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC '14) halves chains per round; propagation is chosen
+  * here because its per-round plan is two shuffles of bare (id, label)
+  * pairs with map-side-combined min — no per-key array ever
+  * materializes, so a hot node (one doc near-duplicating millions)
+  * degrades into partial-aggregated min, not a crowded bucket (the
+  * skew lesson of CelebornPartitionUtil.java:60-100).
+  *
+  * Each round ends in an eager `localCheckpoint`: lineage would
+  * otherwise double per iteration and re-execute the whole prefix on
+  * every action (the same reason the reference replicates pushed
+  * shuffle data rather than replaying mappers, PushDataHandler.scala:190
+  * — pay a small materialization to cut the recompute chain).
+  */
+object Clusters {
+
+  /** PUBLIC API — connected components of an undirected graph given as
+    * a (src, dst) pair DataFrame. Returns (id, component) for every
+    * node incident to at least one edge, where component = min node id
+    * reachable. Throws if the label fixpoint is not reached within
+    * `maxIter` rounds rather than returning a partial clustering.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Symmetrize once and materialize: every round joins this frame.
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (col("nbr_lbl") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      converged = next.where(col("chg")).limit(1).count() == 0
+      labels = next.drop("chg")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** q55: cluster the exact n-gram Jaccard pairs (q27_dedup_ngram's
+    * edge set at threshold 0.5) and emit the per-document dedup
+    * decision: (doc_id, cluster, keep) where keep marks the canonical
+    * (min-id) member. The fixture contains a planted triangle
+    * {45, 267, 413} that only a transitive clustering collapses. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+    val edges = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val cc = connectedComponents(edges)
+    docs.select(col("doc_id"))
+      .join(cc.select(col("id").as("doc_id"), col("lbl").as("cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("keep", col("cluster") === col("doc_id"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Independent oracle: exact all-pairs Jaccard edges + recursive-CTE
+    * transitive closure — no replay of the propagation rounds. */
+  private val q55Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |    FOR i IN range(1, len(s) - 1)])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id),
+      |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (SELECT d1, d2 FROM (
+      |  SELECT d1, d2, inter::DOUBLE / (s1.sz + s2.sz - inter) AS jac
+      |  FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id) x
+      |  WHERE jac >= 0.5),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a)
+      |SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster,
+      |  (COALESCE(c.cluster, doc_id) = doc_id) AS keep
+      |FROM documents LEFT JOIN comp c ON documents.doc_id = c.id
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_dedup_clusters", q55, Some(q55Sql)))
+}
