@@ -31,6 +31,8 @@ object Registry {
       operators.Decontam.defs ++
       operators.Evolution.defs ++
       operators.Packing.defs ++
+      operators.Quality.defs ++
+      operators.Ranking.defs ++
       operators.Analytics.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
