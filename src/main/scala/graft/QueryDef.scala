@@ -27,12 +27,15 @@ object Registry {
       operators.Pipeline.defs ++
       operators.TemporalJoins.defs ++
       operators.Bucketing.defs ++
+      operators.Chunking.defs ++
       operators.Clusters.defs ++
+      operators.Embeddings.defs ++
       operators.Decontam.defs ++
       operators.Evolution.defs ++
       operators.Packing.defs ++
       operators.Quality.defs ++
       operators.Ranking.defs ++
+      operators.Sessionize.defs ++
       operators.Analytics.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

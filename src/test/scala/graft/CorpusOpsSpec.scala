@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chunking (q59), batch sessionization (q60) and label centroids (q61)
+  * on planted fixtures with hand-computed expectations.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("chunks tile each doc: strides reconstruct the text, sizes bounded") {
+    import spark.implicits._
+    val text = (1 to 50).map(i => s"t$i").mkString(" ")
+    val docs = Seq((7L, text), (8L, "just three tokens")).toDF("doc_id", "text")
+    val out = operators.Chunking.chunkDocs(docs, chunkSize = 32, stride = 24)
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // doc 7: 50 tokens -> starts 0, 24, 48 -> 3 chunks of 32, 26, 2 tokens
+    val c7 = byDoc(7L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(c7.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(32L, 26L, 2L))
+    // stride-prefixes of the chunks reconstruct the original text
+    val rebuilt = c7.map(r => r.getAs[String]("chunk_text").split(" ").take(24))
+      .flatten.take(50).mkString(" ")
+    assert(rebuilt == text)
+    // doc 8: single chunk, whole text
+    assert(byDoc(8L).map(_.getAs[String]("chunk_text")).toSeq == Seq("just three tokens"))
+  }
+
+  test("sessionize splits on gaps > threshold, per user") {
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    // user 1: events at 0, 10, 50 min (gap 40 > 30 splits) -> 2 sessions
+    // user 2: events at 0, 29, 58 min (gaps 29 <= 30)      -> 1 session
+    val events = Seq(
+      (1L, ts(0), 100L), (2L, ts(10), 101L), (3L, ts(50), 102L),
+      (4L, ts(0), 200L), (5L, ts(29), 201L), (6L, ts(58), 202L))
+      .map { case (e, t, u) => (e, t, u / 100, "x", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Sessionize.sessionize(events)
+      .select(col("user_id"), col("session_idx"), col("n_events"), col("dur_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L, 10L * 60000000L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 3L, 58L * 60000000L)))
+  }
+
+  test("label centroids are the exact elementwise means") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, -2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(0.5f, 0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = operators.Embeddings.labelCentroids(e)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(out == Map(
+      (0, 0) -> 2.0, (0, 1) -> 1.0,
+      (1, 0) -> 0.5, (1, 1) -> 0.25))
+  }
+}
