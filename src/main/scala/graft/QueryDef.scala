@@ -30,6 +30,7 @@ object Registry {
       operators.Chunking.defs ++
       operators.Clusters.defs ++
       operators.Embeddings.defs ++
+      operators.FuzzyJoin.defs ++
       operators.Decontam.defs ++
       operators.Evolution.defs ++
       operators.Packing.defs ++

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Levenshtein fuzzy join (q62): blocked result must equal brute force
+  * (lossless blocking), including pairs that straddle a bucket boundary.
+  */
+class FuzzyJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("blocked join equals brute force, across bucket boundaries") {
+    import spark.implicits._
+    // lengths 15 and 17 straddle the width-16 boundary (buckets 0 and 1)
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaa"),        // 15 chars
+      (2L, "aaaaaaaaaaaaaaaxy"),      // 17 chars, lev 2 from doc 1
+      (3L, "bbbbbbbbbbbbbbbbb"),      // 17 chars, far from both
+      (4L, "aaaaaaaaaaaaaaaxyz"))     // 18 chars, lev 1 from doc 2
+      .toDF("doc_id", "text")
+    val blocked = operators.FuzzyJoin.levenshteinPairs(docs, maxDistance = 10)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val brute = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id")
+          && levenshtein(col("a.text"), col("b.text")) <= 10)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(blocked == brute && blocked.contains((1L, 2L)) && blocked.contains((2L, 4L)))
+  }
+
+  test("q62 finds exactly the fixture's planted near-dup pairs") {
+    val out = SparkEntry.queries("q62_fuzzy_join")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(out.length == 25)
+    assert(out.forall(_.getLong(2) <= 8L))
+  }
+
+  test("bucketWidth <= maxDistance is rejected (would lose pairs)") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException](
+      operators.FuzzyJoin.levenshteinPairs(docs, maxDistance = 16, bucketWidth = 16)
+        .collect())
+  }
+}
