@@ -220,6 +220,81 @@ object Analytics {
       |FROM events GROUP BY event_type
       |ORDER BY event_type ASC NULLS LAST""".stripMargin
 
+  /** Q63: TPC-H Q7 (volume shipping, adapted) — revenue flow between a
+    * nation pair in both directions, by supplier nation × customer
+    * nation × ship year. Two independent joins to the broadcast nation
+    * dim (supplier side and customer side) with the pair predicate as a
+    * residual — the fact tables shuffle on their join keys only. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.t(s, dir, "nation"))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = broadcast(Tables.t(s, dir, "nation"))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("sk"))
+      .join(n2, col("c_nationkey") === col("ck"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("supp_nation").asc_nulls_last,
+        col("cust_nation").asc_nulls_last, col("l_year").asc_nulls_last)
+  }
+
+  private val q63Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+      |ORDER BY supp_nation ASC NULLS LAST, cust_nation ASC NULLS LAST,
+      |  l_year ASC NULLS LAST""".stripMargin
+
+  /** Q64: TPC-H Q18 (large-volume orders) — the HAVING-subquery shape:
+    * orders whose line quantities total past a threshold, joined back
+    * for customer detail. The qualifying-key set is computed once
+    * (group + having) and semi-joined; quantities accumulate in
+    * DECIMAL(28,2) on both engines (order-independent). */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.t(s, dir, "lineitem")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(28,2)")).as("qty"))
+      .where(col("qty") > 380).select(col("l_orderkey").as("bigkey"))
+    Tables.t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("bigkey"), "left_semi")
+      .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("decimal(28,2)")).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderdate").asc_nulls_last,
+        col("o_orderkey").asc_nulls_last)
+      .limit(100)
+  }
+
+  private val q64Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 380)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC NULLS LAST, o_orderdate ASC NULLS LAST,
+      |  o_orderkey ASC NULLS LAST
+      |LIMIT 100""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_percentiles", q39, Some(q39Sql)),
     QueryDef("q40_pivot", q40, Some(q40Sql)),
@@ -229,7 +304,9 @@ object Analytics {
     QueryDef("q44_partitioned_sink", q44, Some(q44Sql)),
     QueryDef("q45_window_funcs", q45, Some(q45Sql)),
     QueryDef("q46_json_struct", q46, Some(q46Sql)),
-    QueryDef("q47_subqueries", q47, Some(q47Sql)))
+    QueryDef("q47_subqueries", q47, Some(q47Sql)),
+    QueryDef("q63_tpch_q7", q63, Some(q63Sql)),
+    QueryDef("q64_tpch_q18", q64, Some(q64Sql)))
 
   /** Q47: the SQL entry path — correlated EXISTS / NOT EXISTS, which
     * Catalyst decorrelates into semi/anti joins (same ANSI text runs on
