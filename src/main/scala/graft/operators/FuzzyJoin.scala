@@ -51,12 +51,15 @@ object FuzzyJoin {
     val keyEq = blockCols
       .map(c => col(s"${c}_l") === col(s"${c}_r"))
       .foldLeft(left("bk") === right("bk"))(_ && _)
+    // levenshtein's threshold form runs the banded O(k·n) DP and
+    // early-aborts to -1 past the bound — the candidate stream is
+    // dominated by non-matches, so this is where the join's time goes.
     left.join(right, keyEq
         && col("d1") < col("d2")
         && abs(length(col("t1")) - length(col("t2"))) <= maxDistance
-        && levenshtein(col("t1"), col("t2")) <= maxDistance)
+        && levenshtein(col("t1"), col("t2"), maxDistance) >= 0)
       .select(col("d1"), col("d2"),
-        levenshtein(col("t1"), col("t2")).cast("long").as("lev"))
+        levenshtein(col("t1"), col("t2"), maxDistance).cast("long").as("lev"))
       .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last,
         col("lev").asc_nulls_last)
   }
