@@ -14,8 +14,10 @@ import graft.plans.{CosineSimilarity, DotProduct}
   * does the same on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -33,8 +35,12 @@ object GraftExtensions {
 
 /** Runtime registration for sessions the engine does not construct. */
 object Graft {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinRewrite
+  }
 }
