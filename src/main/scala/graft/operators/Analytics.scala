@@ -236,8 +236,8 @@ object Analytics {
       .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(n1, col("s_nationkey") === col("sk"))
       .join(n2, col("c_nationkey") === col("ck"))
-      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
-        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .where((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19")
+        || (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
       .agg(revenue.as("revenue"))
@@ -254,8 +254,8 @@ object Analytics {
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
       |ORDER BY supp_nation ASC NULLS LAST, cust_nation ASC NULLS LAST,
       |  l_year ASC NULLS LAST""".stripMargin
@@ -269,7 +269,7 @@ object Analytics {
     val l = Tables.t(s, dir, "lineitem")
     val big = l.groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast("decimal(28,2)")).as("qty"))
-      .where(col("qty") > 380).select(col("l_orderkey").as("bigkey"))
+      .where(col("qty") > 300).select(col("l_orderkey").as("bigkey"))
     Tables.t(s, dir, "orders")
       .join(big, col("o_orderkey") === col("bigkey"), "left_semi")
       .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -289,7 +289,7 @@ object Analytics {
       |  JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_orderkey IN (
       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      |  HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 380)
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 300)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC NULLS LAST, o_orderdate ASC NULLS LAST,
       |  o_orderkey ASC NULLS LAST
