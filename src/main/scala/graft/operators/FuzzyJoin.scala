@@ -35,7 +35,7 @@ object FuzzyJoin {
     * (lossless-blocking invariant, checked). `blockCols` optionally
     * adds exact-match columns to the blocking key. */
   def levenshteinPairs(docs: DataFrame, maxDistance: Int = 10,
-      bucketWidth: Int = 16, blockCols: Seq[String] = Nil): DataFrame = {
+      bucketWidth: Int = 11, blockCols: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > maxDistance,
       "bucketWidth must exceed maxDistance or adjacent-bucket blocking loses pairs")
     val base = docs.select(

@@ -18,7 +18,7 @@ class FuzzyJoinSpec extends AnyFunSuite {
       (3L, "bbbbbbbbbbbbbbbbb"),      // 17 chars, far from both
       (4L, "aaaaaaaaaaaaaaaxyz"))     // 18 chars, lev 1 from doc 2
       .toDF("doc_id", "text")
-    val blocked = operators.FuzzyJoin.levenshteinPairs(docs, maxDistance = 10)
+    val blocked = operators.FuzzyJoin.levenshteinPairs(docs, maxDistance = 10, bucketWidth = 16)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     val brute = docs.as("a").join(docs.as("b"),
         col("a.doc_id") < col("b.doc_id")
