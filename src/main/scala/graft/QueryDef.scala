@@ -29,6 +29,7 @@ object Registry {
       operators.Bucketing.defs ++
       operators.Chunking.defs ++
       operators.Clusters.defs ++
+      operators.Compaction.defs ++
       operators.Embeddings.defs ++
       operators.FuzzyJoin.defs ++
       operators.Decontam.defs ++

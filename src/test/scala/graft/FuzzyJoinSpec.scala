@@ -34,6 +34,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(2) <= 8L))
   }
 
+  test("blockCols restricts pairs to exact-matching block keys") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text here", "en"), (2L, "same text hers", "en"),
+      (3L, "same text herz", "de")) // lev 1-2 from both, but other lang
+      .toDF("doc_id", "text", "lang")
+    val pairs = operators.FuzzyJoin
+      .levenshteinPairs(docs, maxDistance = 5, blockCols = Seq("lang"))
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // cross-lang pairs blocked out
+  }
+
   test("bucketWidth <= maxDistance is rejected (would lose pairs)") {
     import spark.implicits._
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
