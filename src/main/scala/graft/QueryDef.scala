@@ -26,6 +26,7 @@ object Registry {
       operators.Multimodal.defs ++
       operators.Pipeline.defs ++
       operators.TemporalJoins.defs ++
+      operators.Upsert.defs ++
       operators.Bucketing.defs ++
       operators.Chunking.defs ++
       operators.Clusters.defs ++
