@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * {a,b,c} keeping exactly one canonical doc, not two independent drops.
   *
   * Algorithm: iterated min-label propagation (each node takes the min of
-  * its own and its neighbours' labels) to a fixpoint. Converges in
-  * O(graph diameter) rounds; near-dup clusters are dense (near-cliques
-  * of mutual high-Jaccard pairs), so the diameter is small — 2 rounds on
-  * the fixture, single digits on real corpora. For adversarial
+  * its own and its neighbours' labels) to a fixpoint. Labels settle in
+  * O(graph diameter) rounds plus one final round to observe no change
+  * (3 total on the fixture, whose widest component is the triangle);
+  * near-dup clusters are dense (near-cliques of mutual high-Jaccard
+  * pairs), so the diameter stays in single digits on real corpora. For adversarial
   * long-chain graphs the O(log n) alternating large-star/small-star
   * scheme (Kiveris et al., "Connected Components in MapReduce and
   * Beyond", SoCC '14) halves chains per round; propagation is chosen

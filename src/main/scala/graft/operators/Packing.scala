@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * the same shape as the reference's chunk-offset index (one small
   * index row per 8 MiB chunk instead of one global scan,
   * docs/developers/storage.md "ReducePartition"): per-block running
-  * sums partitioned by `doc_id div blockSize` (parallel, bounded), plus
-  * a cumulative offset over the per-block totals — a frame of
-  * corpus/blockSize rows, thousands at 100 TB, windowed in one tiny
-  * task and broadcast back. No stage ever holds more than a block.
+  * sums partitioned by `doc_id div blockSize` (parallel, bounded by
+  * the block), plus a cumulative offset over the per-block totals — a
+  * frame of corpus/blockSize rows in one small window task. Size
+  * `blockSize` so BOTH stay bounded: at 10^10 docs, blockSize = 10^6
+  * gives 10^6-doc blocks and a 10^4-row offset frame. The fixture
+  * default (4096) keeps the per-block window under a task's memory at
+  * any corpus size the tests reach.
   */
 object Packing {
 

@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   * mean token length, repetition (duplicate-bigram fraction, top-token
   * frequency), stopword coverage — gated into a keep/drop decision.
   * This is the filter stage a 100 TB pipeline runs BEFORE the expensive
-  * dedup/ANN passes, so it must be a single cheap corpus scan.
+  * dedup/ANN passes, so it must stay cheap and skew-proof.
   *
   * Every metric is an int/int IEEE division over exact token counts —
   * no float accumulation anywhere — so the oracle matches bit-for-bit
-  * with no rounding. Plan shape: the array metrics (bigrams, lengths,
-  * stopwords) are per-row higher-order array functions inside one
-  * codegen stage (no shuffle at all); only the top-token metric
-  * shuffles, keyed by (doc_id, token) then doc_id — never by token
-  * alone, so a corpus-wide hot token cannot skew a partition.
+  * with no rounding. Plan shape: two corpus scans — the array metrics
+  * (bigrams, lengths, stopwords) run as per-row higher-order array
+  * functions in a map-only subtree, while the top-token metric
+  * explodes and aggregates, keyed by (doc_id, token) then doc_id,
+  * never by token alone (a corpus-wide hot token cannot skew a
+  * partition) — joined on doc_id at the end. Dropping the top-token
+  * gate would make the whole filter one map-only scan.
   */
 object Quality {
 
