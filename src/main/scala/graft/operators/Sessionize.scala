@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 
 /** Batch gap-based sessionization of the event log — the offline twin
   * of the streaming session windows (q25, EventWindows): a session
-  * breaks when a user is idle longer than `gapMinutes`. Implemented as
-  * the classic lag → new-session flag → running count pattern.
+  * breaks when a user is idle for `gapMinutes` or more (the same
+  * boundary rule as Spark's `session_window` and the
+  * `flatMapGroupsWithState` sessionizer, so batch and streaming agree
+  * event-for-event — asserted in StreamingSpec). Implemented as the
+  * classic lag → new-session flag → running count pattern.
   *
   * Scale shape: both windows partition by `user_id` — per-user state
   * only, no global window — so the plan is one exchange on user_id
@@ -30,7 +33,7 @@ object Sessionize {
       .withColumn("gap_us",
         unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("is_new",
-        when(col("gap_us").isNull || col("gap_us") > gapUs, 1L).otherwise(0L))
+        when(col("gap_us").isNull || col("gap_us") >= gapUs, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("is_new")).over(runSum))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
@@ -51,7 +54,7 @@ object Sessionize {
       |    (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)) AS gap_us
       |  FROM events),
       |f AS (SELECT user_id, ts, event_id,
-      |  CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+      |  CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
       |s AS (SELECT user_id, ts,
       |  CAST(SUM(is_new) OVER (PARTITION BY user_id
       |    ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST

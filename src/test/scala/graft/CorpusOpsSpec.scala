@@ -47,6 +47,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, 1L, 3L, 58L * 60000000L)))
   }
 
+  test("batch sessionization (q60) agrees with session_window (q25) " +
+    "session-for-session") {
+    val batch = SparkEntry.queries("q60_batch_sessions")(spark, sf)
+      .select(col("user_id"), col("start_ts"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val sw = SparkEntry.queries("q25_window_session")(spark, sf)
+      .select(col("user_id"), col("s_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(batch == sw,
+      s"${batch.size} batch vs ${sw.size} session_window sessions; " +
+        s"only-batch=${(batch -- sw).take(3)} only-sw=${(sw -- batch).take(3)}")
+  }
+
   test("label centroids are the exact elementwise means") {
     import spark.implicits._
     val e = Seq(
