@@ -78,6 +78,55 @@ object Ranking {
       |SELECT doc_id, ROUND(SUM(comp), 6) AS score FROM sc GROUP BY doc_id
       |ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 20""".stripMargin
 
+  /** PUBLIC API — per-group distinctive keywords by TF-IDF: for each
+    * value of `groupCol`, the `k` tokens with the highest
+    * tf × ln(nGroups / df) where df counts groups containing the token.
+    * Corpus-level profiling (what distinguishes each language/source
+    * slice) next to q57's query-level BM25.
+    *
+    * Plan shape: one explode → (group, token) hash agg (map-side
+    * combined); df and the group count derive from that already-small
+    * frame (vocabulary × groups, corpus-size-independent), broadcast
+    * back; ranking is a per-group window over the same small frame —
+    * WindowGroupLimit prunes to k before the final sort. Scores are
+    * 9-dp rounded BEFORE ranking so both engines rank identical values. */
+  def tfidfKeywords(docs: DataFrame, groupCol: String = "lang",
+      k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score").desc_nulls_last, col("tok").asc_nulls_last)
+    val tf = docs
+      .select(col(groupCol), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ng = tf.agg(countDistinct(col(groupCol)).as("n_groups"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(ng))
+      .withColumn("score",
+        round(col("tf") * log(col("n_groups").cast("double") / col("df")), 9))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(groupCol), col("rn"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col(groupCol).asc_nulls_last, col("rn").asc_nulls_last)
+  }
+
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    tfidfKeywords(Tables.t(s, dir, "documents"))
+
+  private val q67Sql =
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT lang, tok, COUNT(*)::BIGINT AS tf FROM tok GROUP BY lang, tok),
+      |df AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok),
+      |ng AS (SELECT COUNT(DISTINCT lang)::BIGINT AS n_groups FROM tf),
+      |sc AS (SELECT lang, tok, tf, df,
+      |  ROUND(tf * ln(CAST(n_groups AS DOUBLE) / df), 9) AS score
+      |  FROM tf JOIN df USING (tok) CROSS JOIN ng),
+      |r AS (SELECT lang, tok, tf, df, score, ROW_NUMBER() OVER (PARTITION BY lang
+      |  ORDER BY score DESC NULLS LAST, tok ASC NULLS LAST) AS rn FROM sc)
+      |SELECT lang, rn, tok, tf, df, score FROM r WHERE rn <= 5
+      |ORDER BY lang ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q57_bm25", q57, Some(q57Sql)))
+    QueryDef("q57_bm25", q57, Some(q57Sql)),
+    QueryDef("q67_tfidf_keywords", q67, Some(q67Sql)))
 }

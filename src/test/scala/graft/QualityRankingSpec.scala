@@ -38,6 +38,22 @@ class QualityRankingSpec extends AnyFunSuite {
     assert(!rows(3L).getBoolean(1)) // under min length
   }
 
+  test("tfidf keywords surface group-exclusive tokens and zero out universal ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared apfel apfel apfel shared", "de"),
+      (2L, "shared apple apple shared shared", "en"),
+      (3L, "shared pomme pomme pomme pomme", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = operators.Ranking.tfidfKeywords(docs, "lang", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(5)))
+    // rank-1 keyword per group is its exclusive token, score = tf * ln(3)
+    val top = out.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(top == Map("de" -> "apfel", "en" -> "apple", "fr" -> "pomme"))
+    // 'shared' occurs in all 3 groups: idf = ln(3/3) = 0 everywhere
+    assert(out.filter(_._3 == "shared").forall(_._4 == 0.0))
+  }
+
   test("q57/q58 registry entries run on the fixture corpus") {
     val bm = SparkEntry.queries("q57_bm25")(spark, "/root/testdata/sf0.001")
     assert(bm.count() > 0)
