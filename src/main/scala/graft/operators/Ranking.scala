@@ -84,12 +84,14 @@ object Ranking {
     * Corpus-level profiling (what distinguishes each language/source
     * slice) next to q57's query-level BM25.
     *
-    * Plan shape: one explode → (group, token) hash agg (map-side
-    * combined); df and the group count derive from that already-small
-    * frame (vocabulary × groups, corpus-size-independent), broadcast
-    * back; ranking is a per-group window over the same small frame —
-    * WindowGroupLimit prunes to k before the final sort. Scores are
-    * 9-dp rounded BEFORE ranking so both engines rank identical values. */
+    * Plan shape: ONE corpus scan — explode → (group, token) hash agg
+    * (map-side combined) — materialized via localCheckpoint at its
+    * vocabulary × groups size (corpus-size-independent). Without the
+    * checkpoint Catalyst column-prunes the df branch into its own
+    * corpus scan (plan-audited); with it, df, the group count, and the
+    * ranking all read the small frame. WindowGroupLimit prunes to k
+    * before the final sort. Scores are 9-dp rounded BEFORE ranking so
+    * both engines rank identical values. */
   def tfidfKeywords(docs: DataFrame, groupCol: String = "lang",
       k: Int = 5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -98,6 +100,7 @@ object Ranking {
     val tf = docs
       .select(col(groupCol), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ng = tf.agg(countDistinct(col(groupCol)).as("n_groups"))
     tf.join(broadcast(df), "tok")

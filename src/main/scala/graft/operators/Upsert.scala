@@ -9,15 +9,16 @@ import org.apache.spark.sql.functions._
   * last-writer-wins. The MERGE INTO semantics lakehouse tables provide,
   * expressed as a plain keyed outer join so it runs on raw parquet.
   *
-  * Plan shape at scale: one full-outer sort-merge join on the primary
-  * key — both sides shuffle once, by the key they are already
+  * Plan shape at scale (plan-audited): one full-outer sort-merge join
+  * on the primary key — Spark cannot broadcast a full-outer join, so
+  * both sides shuffle once, but by the key the base is already
   * clustered/compacted on (q65), so with a bucketed base layout the
   * base-side exchange disappears entirely (q50's lesson applied to
-  * maintenance). Changesets are typically ≪ base, and Spark broadcasts
-  * the small side automatically when under the threshold; the
-  * coalesce-per-column projection is codegen'd, no row-by-row lookup
-  * anywhere (the reference's analogue: replayed batches reconciled by
-  * last-winning attempt, CelebornInputStream.java:864-899).
+  * maintenance) and the changeset side — typically ≪ base — is the
+  * only data moved. The coalesce-per-column projection is codegen'd,
+  * no row-by-row lookup anywhere (the reference's analogue: replayed
+  * batches reconciled by last-winning attempt,
+  * CelebornInputStream.java:864-899).
   */
 object Upsert {
 
