@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * breaks when a user is idle for `gapMinutes` or more (the same
   * boundary rule as Spark's `session_window` and the
   * `flatMapGroupsWithState` sessionizer, so batch and streaming agree
-  * event-for-event — asserted in StreamingSpec). Implemented as the
+  * session-for-session: q60 == q25 asserted in CorpusOpsSpec, q25 ==
+  * the custom-state sessionizer in StreamingSpec). Implemented as the
   * classic lag → new-session flag → running count pattern.
   *
   * Scale shape: both windows partition by `user_id` — per-user state
