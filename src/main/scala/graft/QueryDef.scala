@@ -33,6 +33,7 @@ object Registry {
       operators.Compaction.defs ++
       operators.Embeddings.defs ++
       operators.FuzzyJoin.defs ++
+      operators.Funnel.defs ++
       operators.Decontam.defs ++
       operators.Evolution.defs ++
       operators.Packing.defs ++

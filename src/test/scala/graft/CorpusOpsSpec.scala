@@ -60,6 +60,25 @@ class CorpusOpsSpec extends AnyFunSuite {
         s"only-batch=${(batch -- sw).take(3)} only-sw=${(sw -- batch).take(3)}")
   }
 
+  test("funnel (q68) counts only users who hit the stages in order") {
+    import spark.implicits._
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    // user 1: view(0) click(5) purchase(9)  -> reaches all 3
+    // user 2: click(0) view(5) purchase(9)  -> click BEFORE view: stops at view
+    // user 3: view(0) purchase(5)           -> no click: stops after view
+    val events = Seq(
+      (1L, "view", 0), (1L, "click", 5), (1L, "purchase", 9),
+      (2L, "click", 0), (2L, "view", 5), (2L, "purchase", 9),
+      (3L, "view", 0), (3L, "purchase", 5))
+      .map { case (u, t, m) => (u, ts(m), t) }
+      .toDF("user_id", "ts", "event_type")
+    val out = operators.Funnel.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // user 2 DOES reach click: its earliest click >= its view is... none
+    // (click was before view), so it stops at view. Only user 1 converts.
+    assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
+
   test("label centroids are the exact elementwise means") {
     import spark.implicits._
     val e = Seq(
