@@ -30,6 +30,7 @@ object Registry {
       operators.Bucketing.defs ++
       operators.Chunking.defs ++
       operators.Clusters.defs ++
+      operators.Cohorts.defs ++
       operators.Compaction.defs ++
       operators.Embeddings.defs ++
       operators.FuzzyJoin.defs ++

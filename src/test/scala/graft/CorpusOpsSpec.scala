@@ -79,6 +79,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
   }
 
+  test("retention (q69) buckets users by first week and counts return weeks") {
+    import spark.implicits._
+    def wk(w: Int, d: Int = 0) = new Timestamp((w * 7L + d) * 86400000L)
+    // user 1: weeks 0, 1, 3; user 2: weeks 0, 3; user 3: week 1 only
+    val events = Seq(
+      (1L, wk(0)), (1L, wk(1)), (1L, wk(3)), (1L, wk(3, 2)), // same week twice
+      (2L, wk(0)), (2L, wk(3)),
+      (3L, wk(1)))
+      .toDF("user_id", "ts")
+    val out = operators.Cohorts.retention(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 2L, // cohort week-0
+      (1L, 0L) -> 1L))                                // cohort week-1: user 3
+  }
+
   test("label centroids are the exact elementwise means") {
     import spark.implicits._
     val e = Seq(
