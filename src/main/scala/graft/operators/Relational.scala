@@ -83,7 +83,7 @@ object Relational {
   private val q02fmtSql =
     """SELECT COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-      |  SUM(l_orderkey) AS sum_okey,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
       |  COUNT(DISTINCT l_orderkey) AS n_keys
       |FROM lineitem WHERE l_quantity > 30""".stripMargin
 
@@ -116,7 +116,7 @@ object Relational {
       |CROSS JOIN (
       |  SELECT COUNT(*) AS n,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-      |    SUM(l_orderkey) AS sum_okey
+      |    CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
       |  FROM lineitem WHERE l_quantity > 30) a
       |ORDER BY c.codec ASC NULLS LAST""".stripMargin
 

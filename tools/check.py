@@ -5,8 +5,11 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
 
 Runs each oracle_sql.json query in DuckDB over the sf_dir parquet tables
 and compares against the Spark-written parquet in <verify_out_dir>/<name>.
-Columns sorted by name; rows compared in order; floats compared exactly
-(strictest possible interpretation of the driver's hash compare).
+Columns sorted by name; rows compared in order; floats compared exactly,
+and dtypes compared STRICTLY: the driver hashes typed values, so an
+oracle returning HUGEINT (DuckDB's SUM over integers) against Spark's
+int64 is a failure here even when the numbers agree — r4 proved pandas'
+coercing `==` masks exactly that class of driver hash mismatch.
 Dev tooling only — not part of the library.
 """
 import glob
@@ -72,6 +75,25 @@ def main():
             if str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
                 a = pd.to_datetime(a).astype("datetime64[us]")
                 b = pd.to_datetime(b).astype("datetime64[us]")
+            # Driver-hash calibration (r4 evidence): integer WIDTH
+            # mismatches (int32 vs int64) hash-match at the driver, but
+            # KIND mismatches (int64 vs HUGEINT->float/object, float vs
+            # decimal) do not. Normalize widths, stay strict on kind.
+            if str(a.dtype).startswith(("int", "uint")) and str(b.dtype).startswith(("int", "uint")):
+                a = a.astype("int64")
+                b = b.astype("int64")
+            if str(a.dtype) != str(b.dtype):
+                print(f"FAIL {name}: col {c} dtype {a.dtype} vs {b.dtype}"
+                      " (driver hashes typed values; cast the oracle)")
+                ok = False
+                break
+            if str(a.dtype) == "object" and len(a) and len(b):
+                ta = {type(v) for v in a if v is not None and not (isinstance(v, float) and pd.isna(v))}
+                tb = {type(v) for v in b if v is not None and not (isinstance(v, float) and pd.isna(v))}
+                if ta != tb:
+                    print(f"FAIL {name}: col {c} object element types {ta} vs {tb}")
+                    ok = False
+                    break
             eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
             if not eq.all():
                 i = int((~eq).argmax())
