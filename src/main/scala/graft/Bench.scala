@@ -34,6 +34,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def once(name: String): Double = {
+      graft.streaming.StreamMetrics.drain() // clear stale state
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -41,10 +42,20 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      // Streaming queries report steady-state processing time (summed
+      // micro-batch triggerExecution) instead of wall clock: trigger
+      // scheduling waits made q51 swing >2x run-to-run with no plan
+      // change. Batch queries have no recorded stream → wall clock.
+      graft.streaming.StreamMetrics.drain().getOrElse(wall)
     }
 
+    // dev knob: SPARK_GRAFT_BENCH_ONLY=q51_stream_stream_join,... times a
+    // subset; the driver leaves it unset and gets the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // A failed query reports -1.0 and is EXCLUDED from the headline total
     // (and listed under "failed") rather than silently corrupting it; a
     // failed warm-up skips the timed runs entirely.

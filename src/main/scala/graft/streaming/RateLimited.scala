@@ -49,6 +49,7 @@ object RateLimited {
         .writeStream.format("memory").queryName(tbl)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      StreamMetrics.record(q)
       val batches = q.recentProgress.count(_.numInputRows > 0)
       (s.table(tbl), batches)
     } finally s.conf.set(key, prev)

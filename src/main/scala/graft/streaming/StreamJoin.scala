@@ -70,6 +70,7 @@ object StreamJoin {
     val q = joined.writeStream.format("memory").queryName(tbl)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StreamMetrics.record(q)
     s.table(tbl)
   }
 
