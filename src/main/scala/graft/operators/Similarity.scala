@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
 /** G7 similarity search over the `embeddings` table.
   *
   * Brute-force cosine top-k is the correctness baseline (and is exact);
-  * the scale path is random-hyperplane LSH bucketing, which turns the
-  * all-pairs scan into a bucket-local search — the bucket id is a
-  * deterministic 8-bit signature, so the whole pipeline remains
-  * replayable.
+  * the scale paths are random-hyperplane LSH bucketing and IVF-flat
+  * with a k-means-trained coarse quantizer — both turn the all-pairs
+  * scan into bucket-local search with deterministic, replayable
+  * signatures.
   *
   * Scale notes: at 100 TB the query side is broadcast (queries are few),
   * the corpus side stays partitioned; top-k per query uses a ranking
   * window over (query, candidate) — partial top-k per partition via
-  * AQE/codegen, never a driver collect.
+  * AQE/codegen, never a driver collect. The IVF posting lists can be
+  * written `partitionBy(c_id)` (see `buildIvfIndex`) so probes touch
+  * only their lists via dynamic partition pruning.
   */
 object Similarity {
 
@@ -85,6 +87,45 @@ object Similarity {
   private val BitsPerTable = 6
   private val ProbeBits = 6
 
+  /** Sign bit of plane p as a codegen'd single-pass fold: the plane is a
+    * constant-folded float-array literal and sign(dot) == sign(cosine)
+    * for nonzero norms, so ONE dot_product fold per plane — the 3-fold
+    * cosine variant tripled the signature expression volume and pushed
+    * the 72-plane projection out of codegen (measured 4x slower). */
+  private def sigBit(p: Int): String = {
+    val arr = (0 until 64).map(d => planeComponent(p, d).toInt).mkString(",")
+    s"if(dot_product(embedding, cast(array($arr) as array<float>)) >= 0d, 1L, 0L)"
+  }
+
+  /** One row per (vector, table): bucket = that table's sign bits;
+    * probe > 0 additionally emits the single-bit-flip neighbor buckets
+    * (query side only — the corpus is indexed exactly once per table).
+    * Two-stage projection on purpose: stage 1 computes each table's base
+    * bucket ONCE as a named column (nTables x bitsPerTable codegen dot
+    * folds); stage 2 builds the probe structs from those column refs
+    * (cheap XORs). Inlining `base` into all probeBits+1 structs put
+    * ~500 dot_product folds in one Project — past janino's method
+    * limit, dropping the whole stage out of codegen. */
+  private[operators] def lshIndexed(df: DataFrame, nTables: Int,
+      bitsPerTable: Int, probeBits: Int): DataFrame = {
+    val baseCols = (0 until nTables).map { t =>
+      expr((0 until bitsPerTable).map(i =>
+        s"(${sigBit(t * bitsPerTable + i)}) * ${1L << (bitsPerTable - 1 - i)}L")
+        .mkString(" + ")).as(s"_bk$t")
+    }
+    val staged = df.select(col("*") +: baseCols: _*)
+    val buckets = (0 until nTables).flatMap { t =>
+      val base = col(s"_bk$t")
+      struct(lit(t).as("tbl"), base.as("bucket")) +:
+        (0 until probeBits).map(b => struct(lit(t).as("tbl"),
+          base.bitwiseXOR(lit(1L << b)).as("bucket")))
+    }
+    staged.withColumn("bb", explode(array(buckets: _*)))
+      .withColumn("tbl", col("bb.tbl"))
+      .withColumn("bucket", col("bb.bucket"))
+      .drop("bb" +: (0 until nTables).map(t => s"_bk$t"): _*)
+  }
+
   /** PUBLIC API — LSH-bucketed ANN top-k (the scale path): a multi-table
     * OR-construction of hyperplane-sign signatures — each vector is
     * indexed under one `bitsPerTable`-bit bucket per table, and a query
@@ -95,51 +136,16 @@ object Similarity {
     * multiprobe-LSH trick — near-misses differ in one low-confidence
     * sign bit), multiplying candidate coverage without re-hashing the
     * corpus. Approximate by construction — covered by LlmOpsSpec's
-    * recall assertion against q29_ann_brute, not by a SQL oracle. */
+    * recall assertion against q29_ann_brute; the banding itself is
+    * driver-verified exactly via `q29_lsh_cands`. */
   def annLshTopK(s: SparkSession, corpus: DataFrame,
       queryPred: Column, k: Int = K, nTables: Int = Tables_,
       bitsPerTable: Int = BitsPerTable, nProbeBits: Int = ProbeBits): DataFrame = {
     graft.Graft.register(s)
     require(nProbeBits <= bitsPerTable, "cannot flip more bits than the bucket has")
     val e = corpus.select(col("vec_id"), col("embedding"))
-    // Sign bit of plane p as a codegen'd single-pass fold: the plane is a
-    // constant-folded float-array literal and sign(dot) == sign(cosine)
-    // for nonzero norms, so ONE dot_product fold per plane — the 3-fold
-    // cosine variant tripled the signature expression volume and pushed
-    // the 72-plane projection out of codegen (measured 4x slower).
-    def sigBit(p: Int): String = {
-      val arr = (0 until 64).map(d => planeComponent(p, d).toInt).mkString(",")
-      s"if(dot_product(embedding, cast(array($arr) as array<float>)) >= 0d, 1L, 0L)"
-    }
-    // one row per (vector, table): bucket = that table's sign bits;
-    // probe > 0 additionally emits the single-bit-flip neighbor buckets
-    // (query side only — the corpus is indexed exactly once per table).
-    // Two-stage projection on purpose: stage 1 computes each table's base
-    // bucket ONCE as a named column (nTables x bitsPerTable codegen dot
-    // folds); stage 2 builds the probe structs from those column refs
-    // (cheap XORs). Inlining `base` into all probeBits+1 structs put
-    // ~500 dot_product folds in one Project — past janino's method
-    // limit, dropping the whole stage out of codegen.
-    def indexed(df: DataFrame, probeBits: Int): DataFrame = {
-      val baseCols = (0 until nTables).map { t =>
-        expr((0 until bitsPerTable).map(i =>
-          s"(${sigBit(t * bitsPerTable + i)}) * ${1L << (bitsPerTable - 1 - i)}L")
-          .mkString(" + ")).as(s"_bk$t")
-      }
-      val staged = df.select(col("*") +: baseCols: _*)
-      val buckets = (0 until nTables).flatMap { t =>
-        val base = col(s"_bk$t")
-        struct(lit(t).as("tbl"), base.as("bucket")) +:
-          (0 until probeBits).map(b => struct(lit(t).as("tbl"),
-            base.bitwiseXOR(lit(1L << b)).as("bucket")))
-      }
-      staged.withColumn("bb", explode(array(buckets: _*)))
-        .withColumn("tbl", col("bb.tbl"))
-        .withColumn("bucket", col("bb.bucket"))
-        .drop("bb" +: (0 until nTables).map(t => s"_bk$t"): _*)
-    }
-    val indexedCorpus = indexed(e, 0)
-    val queries = indexed(e.where(queryPred), nProbeBits)
+    val indexedCorpus = lshIndexed(e, nTables, bitsPerTable, 0)
+    val queries = lshIndexed(e.where(queryPred), nTables, bitsPerTable, nProbeBits)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
@@ -163,44 +169,141 @@ object Similarity {
   private def q29lsh(s: SparkSession, dir: String): DataFrame =
     annLshTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
-  // IVF defaults, tuned like the LSH ones: 10 of 16 lists measures
-  // recall@5 0.82 on the near-orthogonal fixture (LlmOpsSpec floor 0.6).
-  // Deep probing is the price of the fixture's ~0.01 cosine gaps;
-  // clustered embeddings need far fewer probes for the same recall.
+  /** PUBLIC API — the LSH candidate sets, aggregated per query: exactly
+    * the (table, bucket) collision pairs `annLshTopK` ranks, without the
+    * float ranking — so the whole banding (plane signs, bucket packing,
+    * multiprobe bit flips) is deterministic and SQL-replayable. This is
+    * the driver-checkable half of the LSH split: candidates exact here,
+    * recall of the ranked output asserted in LlmOpsSpec. */
+  def annLshCandidates(s: SparkSession, corpus: DataFrame,
+      queryPred: Column, nTables: Int = Tables_,
+      bitsPerTable: Int = BitsPerTable, nProbeBits: Int = ProbeBits): DataFrame = {
+    graft.Graft.register(s)
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val idx = lshIndexed(e, nTables, bitsPerTable, 0)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val qs = lshIndexed(e.where(queryPred), nTables, bitsPerTable, nProbeBits)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    idx.join(broadcast(qs), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_cands"), sum(col("vec_id")).as("sum_cand"),
+        min(col("vec_id")).as("min_cand"), max(col("vec_id")).as("max_cand"))
+      .orderBy(col("q_id").asc_nulls_last)
+  }
+
+  private def q29lshCands(s: SparkSession, dir: String): DataFrame =
+    annLshCandidates(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
+
+  /** Oracle replaying the full multiprobe banding in SQL: per-table
+    * bucket ids from the SAME inlined integer plane constants, and the
+    * single-bit-flip probe neighborhood expressed as
+    * xor(bucket_q, bucket_e) ∈ {0} ∪ {2^b : b < nProbeBits}. */
+  private def q29lshCandsSql: String = {
+    def planeDot(p: Int): String =
+      (0 until VectorSql.Dim).map(d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE)*${planeComponent(p, d).toInt}")
+        .mkString(" + ")
+    def bucket(t: Int): String =
+      (0 until BitsPerTable).map(i =>
+        s"(CASE WHEN (${planeDot(t * BitsPerTable + i)}) >= 0 THEN ${1L << (BitsPerTable - 1 - i)} ELSE 0 END)")
+        .mkString(" + ")
+    val bucketCols = (0 until Tables_).map(t => s"(${bucket(t)}) AS bk$t").mkString(",\n    ")
+    val flips = (0L +: (0 until ProbeBits).map(1L << _)).mkString(", ")
+    val collide = (0 until Tables_).map(t => s"xor(q.bk$t, e.bk$t) IN ($flips)").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketCols FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id
+       |  FROM q JOIN e ON e.vec_id <> q.vec_id AND ($collide))
+       |SELECT q_id, COUNT(*) AS n_cands, CAST(SUM(vec_id) AS BIGINT) AS sum_cand,
+       |  MIN(vec_id) AS min_cand, MAX(vec_id) AS max_cand
+       |FROM cand GROUP BY q_id ORDER BY q_id ASC NULLS LAST""".stripMargin
+  }
+
+  // IVF defaults: 16 lists, 2 Lloyd rounds over the corpus (decimal-
+  // exact means → deterministic), 10 probed lists. The near-orthogonal
+  // fixture needs deep probing (its top-5 cosine gaps are ~0.01);
+  // clustered embeddings reach recall ≥ 0.9 at nProbe ≤ 4 against the
+  // same trained quantizer — IvfIndexSpec measures exactly that.
   private val Centroids = 16
   private val NProbe = 10
+  private val TrainIters = 2
 
-  /** IVF-flat ANN (the other scale path): a coarse quantizer of
-    * `nCentroids` deterministic centroids (the corpus vectors with the
-    * smallest md5(vec_id) — seed-free and replayable); every corpus
-    * vector is indexed under its nearest centroid, a query probes its
-    * `nProbe` nearest centroid lists and ranks exactly within them.
-    *
-    * Scale shape: the centroid table is tiny and broadcast; assignment is
-    * one broadcast-join pass over the corpus (the posting lists would be
-    * written bucket-partitioned at build time); the probe touches
-    * NProbe/Centroids of the data instead of all of it. Approximate by
-    * construction — recall vs q29_ann_brute asserted in LlmOpsSpec. */
-  def annIvfTopK(s: SparkSession, corpus: DataFrame,
-      queryPred: Column, k: Int = K, nCentroids: Int = Centroids,
-      nProbe: Int = NProbe): DataFrame = {
-    val e = corpus.select(col("vec_id"), col("embedding"))
-    val cent = e
-      .withColumn("r", md5(col("vec_id").cast("string")))
-      .orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
-      .limit(nCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val sim = VectorOps.cosineFast(s, "c_emb", "embedding")
-    // nearest centroid per corpus vector (rank over the 16 broadcast rows)
+  /** Nearest trained centroid per corpus vector: one broadcast-join pass
+    * + rank over the (tiny) centroid table. */
+  private def assignToCentroids(s: SparkSession, e: DataFrame,
+      cent: DataFrame): DataFrame = {
     val wa = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc_nulls_last, col("c_id").asc_nulls_last)
-    val assigned = e.join(broadcast(cent), lit(true))
-      .select(col("vec_id"), col("embedding"), col("c_id"), sim.as("c_sim"))
+    e.join(broadcast(cent), lit(true))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        VectorOps.cosineFast(s, "c_emb", "embedding").as("c_sim"))
       .withColumn("crank", row_number().over(wa))
       .where(col("crank") <= 1)
       .select(col("vec_id"), col("embedding"), col("c_id"))
-    // queries probe their NProbe nearest centroid lists
-    val queries = e.where(queryPred)
+  }
+
+  /** PUBLIC API — k-means (Lloyd) coarse-quantizer training, Spark-first
+    * and deterministic: seeds are the `k` corpus vectors with smallest
+    * md5(vec_id) (seed-free, replayable); each round reassigns via one
+    * broadcast join and recomputes per-dimension means with DECIMAL
+    * sums (order-independent — float accumulation would make centroids
+    * run-dependent), then `localCheckpoint` cuts the growing lineage
+    * (same fixpoint discipline as Clusters.connectedComponents). Empty
+    * clusters keep their previous centroid. At 100 TB this runs over a
+    * bounded deterministic sample, not the corpus — pass one in. */
+  def trainIvfCentroids(s: SparkSession, corpus: DataFrame,
+      k: Int = Centroids, iters: Int = TrainIters): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val wSeed = Window.orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
+    var cent = e
+      .withColumn("r", md5(col("vec_id").cast("string")))
+      .orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
+      .limit(k) // TakeOrdered — k rows on the driver side of the window
+      .withColumn("c_id", row_number().over(wSeed).cast("int"))
+      .select(col("c_id"), col("embedding").as("c_emb"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = assignToCentroids(s, e, cent)
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1))).as("m"))
+        .groupBy(col("c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"), expr("transform(pm, x -> cast(x.m as float))").as("new_emb"))
+      cent = cent.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** IVF-flat ANN (the other scale path): a k-means-trained coarse
+    * quantizer; every corpus vector is indexed under its nearest
+    * centroid, a query probes its `nProbe` nearest centroid lists and
+    * ranks exactly within them.
+    *
+    * Scale shape: the centroid table is tiny and broadcast; assignment
+    * is one broadcast-join pass over the corpus; the probe touches
+    * nProbe/nCentroids of the data instead of all of it. For a
+    * persisted index with partition-pruned probes, see `buildIvfIndex` /
+    * `probeIvfIndex`. Approximate by construction — recall vs
+    * q29_ann_brute asserted in LlmOpsSpec. */
+  def annIvfTopK(s: SparkSession, corpus: DataFrame,
+      queryPred: Column, k: Int = K, nCentroids: Int = Centroids,
+      nProbe: Int = NProbe, trainIters: Int = TrainIters): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val cent = trainIvfCentroids(s, e, nCentroids, trainIters)
+    val assigned = assignToCentroids(s, e, cent)
+    ivfRank(s, assigned, cent, e.where(queryPred), k, nProbe)
+  }
+
+  /** Probe + exact rank within the probed lists (shared by the in-memory
+    * and persisted-index paths). */
+  private def ivfRank(s: SparkSession, assigned: DataFrame, cent: DataFrame,
+      queryVecs: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val queries = queryVecs
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("q_sim").desc_nulls_last, col("c_id").asc_nulls_last)
@@ -223,11 +326,36 @@ object Similarity {
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
+  /** PUBLIC API — build a persisted IVF index: trains the quantizer,
+    * writes posting lists bucket-partitioned by `c_id` (one directory
+    * per list — the layout q44's partitioned sink proves), and returns
+    * the centroid table to keep alongside. */
+  def buildIvfIndex(s: SparkSession, corpus: DataFrame, indexDir: String,
+      nCentroids: Int = Centroids, trainIters: Int = TrainIters): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val cent = trainIvfCentroids(s, e, nCentroids, trainIters)
+    assignToCentroids(s, e, cent)
+      .write.mode("overwrite").partitionBy("c_id").parquet(indexDir)
+    cent
+  }
+
+  /** PUBLIC API — probe a persisted IVF index: queries join the
+    * partitioned posting lists on `c_id`, so Spark's dynamic partition
+    * pruning reads ONLY the probed lists (the scan's PartitionFilters
+    * carries a dynamicpruning subquery — plan-asserted in IvfIndexSpec);
+    * the other nCentroids − nProbe directories are never opened. */
+  def probeIvfIndex(s: SparkSession, indexDir: String, cent: DataFrame,
+      queryVecs: DataFrame, k: Int = K, nProbe: Int = NProbe): DataFrame = {
+    val assigned = s.read.parquet(indexDir)
+    ivfRank(s, assigned, cent, queryVecs, k, nProbe)
+  }
+
   private def q29ivf(s: SparkSession, dir: String): DataFrame =
     annIvfTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ann_brute", q29brute, Some(q29bruteSql)),
     QueryDef("q29_ann_lsh", q29lsh, None),
+    QueryDef("q29_lsh_cands", q29lshCands, Some(q29lshCandsSql)),
     QueryDef("q29_ann_ivf", q29ivf, None))
 }
