@@ -38,15 +38,28 @@ object Clusters {
     * node incident to at least one edge, where component = min node id
     * reachable. Throws if the label fixpoint is not reached within
     * `maxIter` rounds rather than returning a partial clustering.
+    *
+    * `checkpointDir`: when set, per-round materialization uses RELIABLE
+    * `checkpoint()` into that directory (DFS in production) instead of
+    * executor-local `localCheckpoint()`. Local blocks die with their
+    * executor — a lost executor mid-fixpoint kills the job; reliable
+    * checkpoints survive and lost partitions recompute from the files.
+    * Local is the right default for short local runs (no write
+    * round-trip); the DFS path is the 100 TB hardening.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val mat: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
     // Symmetrize once and materialize: every round joins this frame.
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    val sym = mat(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = mat(sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -54,12 +67,11 @@ object Clusters {
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("nbr_lbl"))
-      val next = labels
+      val next = mat(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (col("nbr_lbl") < col("lbl")).as("chg"))
-        .localCheckpoint()
+          (col("nbr_lbl") < col("lbl")).as("chg")))
       converged = next.where(col("chg")).limit(1).count() == 0
       labels = next.drop("chg")
       iter += 1

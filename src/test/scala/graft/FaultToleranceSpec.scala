@@ -83,4 +83,34 @@ class FaultToleranceSpec extends AnyFunSuite {
     assert(injected.collect().map(_.toString).sorted.toSeq == clean,
       "result after map-stage recompute differs from clean run")
   }
+
+  test("connectedComponents with reliable checkpoint survives mid-iteration failures") {
+    // The fixpoint's per-round materialization normally uses
+    // localCheckpoint (executor-local blocks — lost with the executor).
+    // With checkpointDir set, rounds persist to the reliable store; a
+    // task failure inside an iteration recomputes from the checkpoint
+    // FILES, not from the truncated (gone) lineage. In-process we can't
+    // kill the executor, so the differential is failure-injected edges
+    // + reliable rounds vs a clean local run.
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("src", "dst")
+    val clean = canonical(operators.Clusters.connectedComponents(edges))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val injectedEdges = edges.as[(Long, Long)]
+      .mapPartitions { it =>
+        val tc = TaskContext.get()
+        if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+          throw new RuntimeException("graft: injected first-attempt failure")
+        it
+      }
+      .toDF("src", "dst")
+    val survived = operators.Clusters.connectedComponents(
+      injectedEdges, checkpointDir = Some(ckpt))
+    assert(canonical(survived) == clean,
+      "reliable-checkpoint fixpoint differs from clean run")
+    // the rounds genuinely went through the reliable store
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(_.getFileName.toString.startsWith("rdd-")).count()
+    assert(files > 0, s"no reliable checkpoint files written under $ckpt")
+  }
 }
