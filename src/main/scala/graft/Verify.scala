@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosConf, "true")
-      // same shuffle-integrity confs as Bench (see CodecSpec)
-      .config("spark.io.compression.codec", "lz4")
+      // same shuffle-integrity confs as Bench (see CodecSpec); zstd per
+      // the round-5 columnar/codec experiment in BASELINE.md
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.shuffle.checksum.enabled", "true")
       .config("spark.shuffle.spill.compress", "true")
       .config("spark.shuffle.compress", "true")
@@ -21,7 +22,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query observability export (observed metrics + shuffle bill)
+    Metrics.install(spark, Some(s"$outDir/metrics.jsonl"))
     SparkEntry.queries.foreach { case (name, fn) =>
+      Metrics.tagQuery(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,6 +47,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Metrics.awaitQuiesce() // async listener bus: let metrics.jsonl flush
     spark.stop()
   }
 }
