@@ -32,6 +32,7 @@ object Registry {
       operators.Clusters.defs ++
       operators.Cohorts.defs ++
       operators.Compaction.defs ++
+      operators.Curation.defs ++
       operators.Embeddings.defs ++
       operators.FuzzyJoin.defs ++
       operators.Funnel.defs ++
