@@ -35,6 +35,7 @@ object Registry {
       operators.Curation.defs ++
       operators.Embeddings.defs ++
       operators.FuzzyJoin.defs ++
+      operators.Graphs.defs ++
       operators.Funnel.defs ++
       operators.Decontam.defs ++
       operators.Evolution.defs ++
@@ -47,5 +48,6 @@ object Registry {
       streaming.StreamDedup.defs ++
       streaming.RateLimited.defs ++
       streaming.StreamJoin.defs ++
+      streaming.StreamStaticJoin.defs ++
       operators.Udfs.defs
 }
