@@ -103,8 +103,18 @@ object Metrics {
   @volatile private var sinkPath: Option[String] = None
 
   /** Name the next execution(s); Verify/Runner set this per registry ID so
-    * the JSONL lines key on query IDs, not "save"/"count". */
-  def tagQuery(name: String): Unit = currentQuery = Some(name)
+    * the JSONL lines key on query IDs, not "save"/"count".
+    *
+    * The execution-listener bus delivers asynchronously, so an event from
+    * the PREVIOUS query can arrive after the tag has moved on and be
+    * misattributed. The tag is read at delivery time (the listener has no
+    * start hook carrying the name), so switching tags first drains the
+    * bus to a stable point — callers tag between queries, where the extra
+    * ~500 ms is irrelevant next to the query itself. */
+  def tagQuery(name: String): Unit = {
+    if (currentQuery.isDefined) awaitQuiesce(3000)
+    currentQuery = Some(name)
+  }
 
   private lazy val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
