@@ -39,6 +39,7 @@ object Registry {
       operators.Funnel.defs ++
       operators.Decontam.defs ++
       operators.Evolution.defs ++
+      operators.Export.defs ++
       operators.Packing.defs ++
       operators.Quality.defs ++
       operators.Ranking.defs ++
