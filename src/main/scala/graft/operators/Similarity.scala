@@ -231,18 +231,24 @@ object Similarity {
   private val TrainIters = 2
 
   /** Nearest trained centroid per corpus vector: one broadcast-join pass
-    * + rank over the (tiny) centroid table. */
+    * + an argmax AGGREGATION keyed by vec_id — not a rank window: the
+    * aggregate combines map-side (corpus×k rows collapse to corpus rows
+    * before the exchange) and needs no sort, where a row_number window
+    * would shuffle and sort the full corpus×k stream. The max orders the
+    * struct lexicographically: highest c_sim first, then -c_id for the
+    * smallest-id tie-break; c_id is unique per group, so the comparison
+    * never reaches the trailing payload fields — deterministic without
+    * any first(). */
   private def assignToCentroids(s: SparkSession, e: DataFrame,
-      cent: DataFrame): DataFrame = {
-    val wa = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc_nulls_last, col("c_id").asc_nulls_last)
+      cent: DataFrame): DataFrame =
     e.join(broadcast(cent), lit(true))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         VectorOps.cosineFast(s, "c_emb", "embedding").as("c_sim"))
-      .withColumn("crank", row_number().over(wa))
-      .where(col("crank") <= 1)
-      .select(col("vec_id"), col("embedding"), col("c_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("c_sim"), (-col("c_id")).as("nc"),
+        col("c_id"), col("embedding"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.c_id").as("c_id"))
 
   /** PUBLIC API — k-means (Lloyd) coarse-quantizer training, Spark-first
     * and deterministic: seeds are the `k` corpus vectors with smallest
