@@ -41,7 +41,9 @@ object Registry {
       operators.Evolution.defs ++
       operators.Export.defs ++
       operators.Packing.defs ++
+      operators.Pruning.defs ++
       operators.Quality.defs ++
+      operators.TableDiff.defs ++
       operators.Ranking.defs ++
       operators.Sessionize.defs ++
       operators.Analytics.defs ++
