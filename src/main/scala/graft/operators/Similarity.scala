@@ -300,7 +300,17 @@ object Similarity {
       queryPred: Column, k: Int = K, nCentroids: Int = Centroids,
       nProbe: Int = NProbe, trainIters: Int = TrainIters): DataFrame = {
     val e = corpus.select(col("vec_id"), col("embedding"))
-    val cent = trainIvfCentroids(s, e, nCentroids, trainIters)
+    // Lloyd rounds run over a bounded DETERMINISTIC sample (the 20·k
+    // vectors with smallest md5(vec_id) — replayable, corpus-size-
+    // independent), not the corpus: k-means only needs enough points to
+    // place k centroids, and at 100 TB training over the corpus would
+    // dominate the query. Assignment and probing still cover every
+    // vector. Recall floor unchanged (LlmOpsSpec/IvfIndexSpec).
+    val sample = e
+      .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+        col("vec_id").asc_nulls_last)
+      .limit(20 * nCentroids)
+    val cent = trainIvfCentroids(s, sample, nCentroids, trainIters)
     val assigned = assignToCentroids(s, e, cent)
     ivfRank(s, assigned, cent, e.where(queryPred), k, nProbe)
   }
