@@ -99,7 +99,6 @@ object ColumnarBench {
     val q05 = Tables.t(spark, dir, "orders")
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
     q05.write.format("noop").mode("overwrite").save()
-    val q05Rows = Tables.t(spark, dir, "orders").count()
     // listener bus drain: waitUntilEmpty is private[spark]; poll to a
     // stable value instead (bench harness, not product path)
     var last = -1L
@@ -108,6 +107,9 @@ object ColumnarBench {
       last = written.get(); Thread.sleep(250); tries += 1
     }
     spark.sparkContext.removeSparkListener(listener)
+    // counted AFTER the listener is gone: the count's own aggregation
+    // shuffle must not contaminate the measured q05 exchange bytes
+    val q05Rows = Tables.t(spark, dir, "orders").count()
 
     // 2. encoding comparison on a string-heavy and a numeric-heavy table
     val tables = Seq("orders", "lineitem")

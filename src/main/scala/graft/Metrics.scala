@@ -90,8 +90,11 @@ object Metrics {
     QueryMetric(
       query = name,
       durationMs = durationNs / 1000000L,
-      outputRows = plans.headOption
-        .flatMap(_.metrics.get("numOutputRows")).map(_.value).getOrElse(-1L),
+      // under AQE the root is AdaptiveSparkPlanExec with no metrics —
+      // take the first expanded node that actually carries numOutputRows
+      outputRows = plans.iterator
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value)
+        .nextOption().getOrElse(-1L),
       shuffleBytesWritten = sumMetric(plans, "shuffleBytesWritten"),
       shuffleRecordsWritten = sumMetric(plans, "shuffleRecordsWritten"),
       spillBytes = sumMetric(plans, "spillSize"),
@@ -116,6 +119,8 @@ object Metrics {
     currentQuery = Some(name)
   }
 
+  @volatile private var installed = false
+
   private lazy val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       val m = fromExecution(currentQuery.getOrElse(funcName), qe, durationNs)
@@ -129,11 +134,16 @@ object Metrics {
   }
 
   /** Register the listener on the session; optionally stream JSONL to
-    * `path`. Idempotent per JVM for the common single-session case. */
+    * `path`. Idempotent per JVM for the common single-session case —
+    * re-installing must NOT register the listener twice (every event
+    * would be double-recorded), only retarget the sink. */
   def install(spark: SparkSession, path: Option[String] = None): Unit = {
     sinkPath = path
     path.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    spark.listenerManager.register(listener)
+    if (!installed) {
+      spark.listenerManager.register(listener)
+      installed = true
+    }
   }
 
   /** The execution-listener bus is asynchronous: wait until the recorded
@@ -143,10 +153,12 @@ object Metrics {
     val deadline = System.currentTimeMillis() + timeoutMs
     var last = -1
     var stable = 0
+    // 50 ms polls: the idle cost per tagged query is ~100-150 ms, which
+    // across Verify's ~90 tags stays negligible next to the queries
     while (System.currentTimeMillis() < deadline && stable < 2) {
       val n = buffer.size()
       if (n == last) stable += 1 else { stable = 0; last = n }
-      Thread.sleep(250)
+      Thread.sleep(50)
     }
   }
 

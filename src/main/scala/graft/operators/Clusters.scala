@@ -45,7 +45,12 @@ object Clusters {
     * executor — a lost executor mid-fixpoint kills the job; reliable
     * checkpoints survive and lost partitions recompute from the files.
     * Local is the right default for short local runs (no write
-    * round-trip); the DFS path is the 100 TB hardening.
+    * round-trip); the DFS path is the 100 TB hardening. Operational
+    * notes for that path: each round writes a labels snapshot, so set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or sweep
+    * the directory) to bound DFS usage at ≤ maxIter snapshots, and the
+    * dir is set on the SHARED SparkContext — use a dedicated directory
+    * per job if other operators checkpoint concurrently.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {

@@ -92,6 +92,15 @@ object Similarity {
     * for nonzero norms, so ONE dot_product fold per plane — the 3-fold
     * cosine variant tripled the signature expression volume and pushed
     * the 72-plane projection out of codegen (measured 4x slower). */
+  /** Sign bit of the projection onto plane `p`. Cross-engine parity with
+    * the oracle's double arithmetic (q29lshCandsSql) holds bit-exactly:
+    * `dot_product` accumulates in DOUBLE left-to-right
+    * (plans/DotProduct.scala doGenCode: `dot += (double)x * (double)y`),
+    * the ±1 plane components are exact in float, and DuckDB's
+    * `CAST(e[i] AS DOUBLE)*c + …` chain is the same left-associated
+    * double fold over the same values — so the sign can never flip
+    * between engines. (An inlined 64-term SQL chain was tried and is
+    * semantically identical but falls out of codegen: 20× slower.) */
   private def sigBit(p: Int): String = {
     val arr = (0 until 64).map(d => planeComponent(p, d).toInt).mkString(",")
     s"if(dot_product(embedding, cast(array($arr) as array<float>)) >= 0d, 1L, 0L)"
@@ -179,6 +188,7 @@ object Similarity {
       queryPred: Column, nTables: Int = Tables_,
       bitsPerTable: Int = BitsPerTable, nProbeBits: Int = ProbeBits): DataFrame = {
     graft.Graft.register(s)
+    require(nProbeBits <= bitsPerTable, "cannot flip more bits than the bucket has")
     val e = corpus.select(col("vec_id"), col("embedding"))
     val idx = lshIndexed(e, nTables, bitsPerTable, 0)
       .select(col("vec_id"), col("tbl"), col("bucket"))
@@ -300,17 +310,7 @@ object Similarity {
       queryPred: Column, k: Int = K, nCentroids: Int = Centroids,
       nProbe: Int = NProbe, trainIters: Int = TrainIters): DataFrame = {
     val e = corpus.select(col("vec_id"), col("embedding"))
-    // Lloyd rounds run over a bounded DETERMINISTIC sample (the 20·k
-    // vectors with smallest md5(vec_id) — replayable, corpus-size-
-    // independent), not the corpus: k-means only needs enough points to
-    // place k centroids, and at 100 TB training over the corpus would
-    // dominate the query. Assignment and probing still cover every
-    // vector. Recall floor unchanged (LlmOpsSpec/IvfIndexSpec).
-    val sample = e
-      .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
-        col("vec_id").asc_nulls_last)
-      .limit(20 * nCentroids)
-    val cent = trainIvfCentroids(s, sample, nCentroids, trainIters)
+    val cent = trainIvfCentroids(s, trainSample(e, nCentroids), nCentroids, trainIters)
     val assigned = assignToCentroids(s, e, cent)
     ivfRank(s, assigned, cent, e.where(queryPred), k, nProbe)
   }
@@ -346,10 +346,21 @@ object Similarity {
     * writes posting lists bucket-partitioned by `c_id` (one directory
     * per list — the layout q44's partitioned sink proves), and returns
     * the centroid table to keep alongside. */
+  /** Bounded DETERMINISTIC training sample (the 20·k vectors with
+    * smallest md5(vec_id) — replayable, corpus-size-independent):
+    * k-means only needs enough points to place k centroids, and at
+    * 100 TB training over the corpus would dominate the build. Shared by
+    * the in-memory (annIvfTopK) and persisted (buildIvfIndex) paths so
+    * identical parameters produce identical indexes. */
+  private def trainSample(e: DataFrame, nCentroids: Int): DataFrame = e
+    .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+      col("vec_id").asc_nulls_last)
+    .limit(20 * nCentroids)
+
   def buildIvfIndex(s: SparkSession, corpus: DataFrame, indexDir: String,
       nCentroids: Int = Centroids, trainIters: Int = TrainIters): DataFrame = {
     val e = corpus.select(col("vec_id"), col("embedding"))
-    val cent = trainIvfCentroids(s, e, nCentroids, trainIters)
+    val cent = trainIvfCentroids(s, trainSample(e, nCentroids), nCentroids, trainIters)
     assignToCentroids(s, e, cent)
       .write.mode("overwrite").partitionBy("c_id").parquet(indexDir)
     cent
