@@ -47,6 +47,7 @@ object Registry {
       operators.Ranking.defs ++
       operators.Sessionize.defs ++
       operators.Analytics.defs ++
+      operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
       streaming.RateLimited.defs ++
