@@ -47,6 +47,27 @@ class GraphsSpec extends AnyFunSuite {
     assert(got(1L) === got(2L))
   }
 
+  test("pageRank differential: first-attempt task failure does not change ranks") {
+    // the fixpoint materializes per round (localCheckpoint); a task lost
+    // while materializing the edge set must recompute from lineage and
+    // converge to IDENTICAL ranks (FaultToleranceSpec discipline applied
+    // to the round-5 iterative operator)
+    import org.apache.spark.TaskContext
+    val edges = Tables.t(spark, sf, "lineitem")
+      .select((col("l_orderkey") % 50).as("src"), (col("l_partkey") % 50).as("dst"))
+    val clean = Graphs.pageRank(edges, iters = 2).orderBy("id")
+      .collect().map(_.toString).toSeq
+    val flaky = edges.as[(Long, Long)].mapPartitions { it =>
+      val tc = TaskContext.get()
+      if (tc.partitionId() == 0 && tc.attemptNumber() == 0)
+        throw new RuntimeException("graft: injected first-attempt failure")
+      it
+    }.toDF("src", "dst")
+    val injected = Graphs.pageRank(flaky, iters = 2).orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(injected === clean, "ranks differ after task retry")
+  }
+
   test("q75 stream-static join: dim broadcasts; batch equivalence holds") {
     val ev = Tables.t(spark, sf, "events")
     val dim = ev.select(col("user_id")).distinct()
