@@ -93,6 +93,32 @@ class DedupBoundsSpec extends AnyFunSuite {
     assert(m("max_posting").asInstanceOf[Int] <= 40, s"posting array over cap: $m")
   }
 
+  test("prefix filter bounds the candidate set in the near-dup regime") {
+    import spark.implicits._
+    // every doc shares one 6-word tail (4 common trigrams, df = n, under
+    // the cap) but differs in its 4-word head: at t = 0.9 the rarest-
+    // first prefix is 1-2 shingles long and UNIQUE per doc, so the
+    // shared tail never generates a candidate — only the planted twins
+    // collide. The inverted index (pre-prefix plan) would have generated
+    // ~n²/2 pairs from the shared-tail postings.
+    val n = 120L
+    val docs = ((0L until n).map(i =>
+      (i, s"h${i}a h${i}b h${i}c h${i}d tail one two three four five")) ++
+      Seq((900L, "planted twin r1 r2 r3 r4 tail one two three four five"),
+        (901L, "planted twin r1 r2 r3 r4 tail one two three four five")))
+      .toDF("doc_id", "text")
+    val ((rows, _), m) = observedMetric("q27_prefix_cands") {
+      val r = graft.operators.Dedup
+        .ngramJaccardPairs(docs, threshold = 0.9, dfCap = 10000).collect()
+      (r.length, r)
+    }
+    assert(rows == 1, "planted twins must survive")
+    val cands = m("n_candidates").asInstanceOf[Long]
+    assert(cands < 20,
+      s"prefix filter generated $cands candidates; the unfiltered pair " +
+        s"space of the shared tail is ~${n * (n + 1) / 2}")
+  }
+
   // ---- boundedPairs losslessness + cell bound ----------------------------
 
   test("boundedPairs salted path is lossless and bounds cell arrays") {
