@@ -281,10 +281,18 @@ object Similarity {
       .select(col("c_id"), col("embedding").as("c_emb"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // Mean = exact DECIMAL sum, then ONE double division: with |v| < 1
+      // and ≤ 20k sample rows the sum's unscaled value stays below 2^52,
+      // so decimal→double is the exactly-rounded double(unscaled)/1e12 in
+      // both engines and the division is a single IEEE-exact op — the
+      // oracle (q29ivfCandsSql) replays it bit-for-bit. Decimal DIVISION
+      // here would instead expose each engine's decimal scale/rounding
+      // rules, which do not agree.
       val means = assignToCentroids(s, e, cent)
         .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("c_id"), col("pos"))
-        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1))).as("m"))
+        .agg((sum(col("v").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("m"))
         .groupBy(col("c_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("c_id"), expr("transform(pm, x -> cast(x.m as float))").as("new_emb"))
@@ -315,20 +323,28 @@ object Similarity {
     ivfRank(s, assigned, cent, e.where(queryPred), k, nProbe)
   }
 
-  /** Probe + exact rank within the probed lists (shared by the in-memory
-    * and persisted-index paths). */
-  private def ivfRank(s: SparkSession, assigned: DataFrame, cent: DataFrame,
-      queryVecs: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  /** The nProbe nearest centroid lists per query: (q_id, q_emb, c_id),
+    * ties broken by smallest c_id (shared by ranking and the candidate
+    * oracle so both probe identical lists). */
+  private def probeLists(s: SparkSession, cent: DataFrame,
+      queryVecs: DataFrame, nProbe: Int): DataFrame = {
     val queries = queryVecs
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("q_sim").desc_nulls_last, col("c_id").asc_nulls_last)
-    val probes = queries.join(broadcast(cent), lit(true))
+    queries.join(broadcast(cent), lit(true))
       .select(col("q_id"), col("q_emb"), col("c_id"),
         VectorOps.cosineFast(s, "c_emb", "q_emb").as("q_sim"))
       .withColumn("qrank", row_number().over(wq))
       .where(col("qrank") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("c_id"))
+  }
+
+  /** Probe + exact rank within the probed lists (shared by the in-memory
+    * and persisted-index paths). */
+  private def ivfRank(s: SparkSession, assigned: DataFrame, cent: DataFrame,
+      queryVecs: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val probes = probeLists(s, cent, queryVecs, nProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
     assigned.join(broadcast(probes), Seq("c_id"))
@@ -380,9 +396,104 @@ object Similarity {
   private def q29ivf(s: SparkSession, dir: String): DataFrame =
     annIvfTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
+  /** PUBLIC API — the IVF candidate sets, aggregated per query: exactly
+    * the vectors in the `nProbe` probed posting lists that `annIvfTopK`
+    * ranks, without the float ranking. The whole pipeline — md5-top
+    * training sample, Lloyd rounds with decimal-exact-sum /
+    * double-division means, argmax assignment, probe selection — is
+    * deterministic and SQL-replayable, so this is the driver-checkable
+    * half of the IVF split, mirroring `annLshCandidates`. */
+  def annIvfCandidates(s: SparkSession, corpus: DataFrame,
+      queryPred: Column, nCentroids: Int = Centroids,
+      nProbe: Int = NProbe, trainIters: Int = TrainIters): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val cent = trainIvfCentroids(s, trainSample(e, nCentroids), nCentroids, trainIters)
+    val assigned = assignToCentroids(s, e, cent).select(col("vec_id"), col("c_id"))
+    val probes = probeLists(s, cent, e.where(queryPred), nProbe)
+      .select(col("q_id"), col("c_id"))
+    assigned.join(broadcast(probes), Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_cands"), sum(col("vec_id")).as("sum_cand"),
+        min(col("vec_id")).as("min_cand"), max(col("vec_id")).as("max_cand"))
+      .orderBy(col("q_id").asc_nulls_last)
+  }
+
+  private def q29ivfCands(s: SparkSession, dir: String): DataFrame =
+    annIvfCandidates(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
+
+  /** Oracle replaying the WHOLE IVF build in SQL — training sample,
+    * seeds, `TrainIters` unrolled Lloyd rounds, full-corpus argmax
+    * assignment, probe selection — as chained CTEs (the q74 PageRank
+    * oracle discipline applied to k-means). Cross-engine parity is
+    * IEEE-exact, not approximate:
+    *   - cosines are the same left-to-right double folds as
+    *     `q29bruteSql` (whose exact rank comparisons hash-match);
+    *   - per-element float→DECIMAL(28,12) goes through DOUBLE — DuckDB's
+    *     direct FLOAT→DECIMAL cast computes `v*10^12` in FLOAT and is
+    *     wrong past ~7 digits (measured), while Spark's cast widens
+    *     first; the mean's decimal sum is then exact in both engines and
+    *     its unscaled value < 2^52, so decimal→double→/count→float is a
+    *     chain of exactly-rounded IEEE ops with one representable answer.
+    * Verified bit-identical (centroids, assignment, probes, candidate
+    * aggregates) against Spark at sf0.01 and sf0.1. */
+  private def q29ivfCandsSql: String = {
+    def assignCte(src: String, cent: String, out: String) =
+      s"""${out}_s AS (
+         |  SELECT s.vec_id, s.embedding, c.c_id,
+         |    ${VectorSql.cosine("c.c_emb", "s.embedding")} AS c_sim
+         |  FROM $src s CROSS JOIN $cent c),
+         |$out AS (
+         |  SELECT vec_id, embedding, c_id FROM (
+         |    SELECT vec_id, embedding, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY c_sim DESC NULLS LAST, c_id ASC NULLS LAST) AS rn
+         |    FROM ${out}_s) WHERE rn = 1)""".stripMargin
+    def meanCte(asg: String, prev: String, out: String) =
+      s"""${out}_m AS (
+         |  SELECT c_id, i.i AS pos,
+         |    CAST(CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |         / COUNT(*) AS FLOAT) AS m
+         |  FROM $asg CROSS JOIN range(1, ${VectorSql.Dim + 1}) i(i)
+         |  GROUP BY c_id, i.i),
+         |${out}_l AS (
+         |  SELECT c_id, list(m ORDER BY pos ASC) AS new_emb FROM ${out}_m GROUP BY c_id),
+         |$out AS (
+         |  SELECT p.c_id, COALESCE(l.new_emb, p.c_emb) AS c_emb
+         |  FROM $prev p LEFT JOIN ${out}_l l ON p.c_id = l.c_id)""".stripMargin
+    val seedOrder = "md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC"
+    val rounds = (0 until TrainIters).map { r =>
+      assignCte("samp", s"cent$r", s"a$r") + ",\n" +
+        meanCte(s"a$r", s"cent$r", s"cent${r + 1}")
+    }.mkString(",\n")
+    val centF = s"cent$TrainIters"
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |samp AS (SELECT vec_id, embedding FROM emb ORDER BY $seedOrder LIMIT ${20 * Centroids}),
+       |cent0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY $seedOrder) AS INT) AS c_id,
+       |         embedding AS c_emb
+       |  FROM (SELECT vec_id, embedding FROM samp ORDER BY $seedOrder LIMIT $Centroids)),
+       |$rounds,
+       |${assignCte("emb", centF, "afull")},
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.q_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${VectorSql.cosine("c.c_emb", "q.q_emb")} DESC NULLS LAST,
+       |                 c.c_id ASC NULLS LAST) AS qrank
+       |    FROM q CROSS JOIN $centF c) WHERE qrank <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id FROM afull a JOIN probes p ON a.c_id = p.c_id
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, COUNT(*) AS n_cands, CAST(SUM(vec_id) AS BIGINT) AS sum_cand,
+       |  MIN(vec_id) AS min_cand, MAX(vec_id) AS max_cand
+       |FROM cand GROUP BY q_id ORDER BY q_id ASC NULLS LAST""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q29_ann_brute", q29brute, Some(q29bruteSql)),
     QueryDef("q29_ann_lsh", q29lsh, None),
     QueryDef("q29_lsh_cands", q29lshCands, Some(q29lshCandsSql)),
-    QueryDef("q29_ann_ivf", q29ivf, None))
+    QueryDef("q29_ann_ivf", q29ivf, None),
+    QueryDef("q29_ivf_cands", q29ivfCands, Some(q29ivfCandsSql)))
 }
