@@ -27,29 +27,52 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Test seam: invoked with the round number after each round's
+    * materialization. FaultToleranceSpec uses it to vaporize the
+    * fixpoint's cached blocks mid-run — the executor-loss storage
+    * failure a single-JVM local session cannot produce by killing a
+    * process. No-op in production. */
+  private[graft] var afterRound: Int => Unit = _ => ()
+
   /** PUBLIC API — `iters` rounds of damped PageRank on directed edges
     * (src, dst). Nodes with no out-edges contribute nothing (simplified
     * model, no dangling redistribution); every node incident to an edge
-    * gets a rank. Returns (id, pr) with pr rounded to 12 dp. */
-  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    * gets a rank. Returns (id, pr) with pr rounded to 12 dp.
+    *
+    * `checkpointDir`: when set, per-round materialization uses RELIABLE
+    * `checkpoint()` into that directory instead of executor-local
+    * `localCheckpoint()` — same trade as
+    * [[Clusters.connectedComponents]]: local blocks die with their
+    * executor (a lost executor mid-fixpoint kills the job, proven by
+    * the FaultToleranceSpec differential); reliable rounds survive and
+    * lost partitions re-read the files. Same operational notes apply
+    * (per-job directory, sweep old round snapshots). */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val mat: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val e = mat(edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct())
+    val nodes = mat(e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count() // driver scalar, like the q55 convergence count
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var pr = nodes.withColumn("pr", round(lit(1.0 / n), 12))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("id"),
           (col("pr") / col("outdeg")).cast("decimal(28,16)").as("w"))
         .groupBy(col("id")).agg(sum(col("w")).as("in_w"))
-      pr = pr.select(col("id")).join(contrib, Seq("id"), "left")
+      pr = mat(pr.select(col("id")).join(contrib, Seq("id"), "left")
         .select(col("id"),
           round(lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("in_w").cast("double"), lit(0.0)), 12).as("pr"))
-        .localCheckpoint()
+            lit(damping) * coalesce(col("in_w").cast("double"), lit(0.0)), 12).as("pr")))
+      afterRound(i)
     }
     pr
   }

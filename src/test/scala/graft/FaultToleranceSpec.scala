@@ -113,4 +113,41 @@ class FaultToleranceSpec extends AnyFunSuite {
       .filter(_.getFileName.toString.startsWith("rdd-")).count()
     assert(files > 0, s"no reliable checkpoint files written under $ckpt")
   }
+
+  test("pageRank executor-loss mid-fixpoint: local blocks are fatal, reliable checkpoint recovers") {
+    // Executor loss destroys an executor's cached blocks — including
+    // localCheckpoint data, whose lineage has been TRUNCATED, so unlike
+    // plain cached RDDs there is nothing to recompute from. A single-JVM
+    // session cannot kill an executor, but the block layer is shared:
+    // vaporizing the fixpoint's cached blocks through the
+    // BlockManagerMaster is the same storage-level event. Differential:
+    //  - localCheckpoint rounds + block loss after round 2 => job death
+    //    with the checkpoint-block failure (proves the fragility claim);
+    //  - checkpoint(dir) rounds + the same loss => completes, result
+    //    identical to a clean run (round data re-read from FILES).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (2L, 4L))
+      .toDF("src", "dst")
+    val clean = canonical(operators.Graphs.pageRank(edges))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    operators.Graphs.afterRound = r =>
+      if (r == 2) org.apache.spark.graftinject.BlockLoss.removeRdds(
+        sc, sc.getPersistentRDDs.keySet.toSet -- before)
+    try {
+      val ex = intercept[Exception] {
+        operators.Graphs.pageRank(edges).collect()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.toLowerCase.contains("checkpoint block"),
+        s"expected checkpoint-block loss to be fatal, got: $msgs")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+      val survived = operators.Graphs.pageRank(edges, checkpointDir = Some(ckpt))
+      assert(canonical(survived) == clean,
+        "reliable-checkpoint pageRank differs from clean run after block loss")
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(_.getFileName.toString.startsWith("rdd-")).count()
+      assert(files > 0, s"no reliable checkpoint files written under $ckpt")
+    } finally operators.Graphs.afterRound = _ => ()
+  }
 }

@@ -87,3 +87,14 @@ object Inject {
   def fetchFailed(shuffleId: Int, reduceId: Int, msg: String): Nothing =
     throw new FetchFailedException(null, shuffleId, 0L, 0, reduceId, msg, null)
 }
+
+/** Test-only reach into the private[spark] BlockManagerMaster: the
+  * executor-loss differential must make an RDD's cached blocks VANISH
+  * mid-job (what losing an executor does to localCheckpoint data) —
+  * local mode shares one JVM, so the storage layer is the only place
+  * the failure can be produced authentically. */
+object BlockLoss {
+  /** Drop every cached block of the given RDD ids, cluster-wide. */
+  def removeRdds(sc: org.apache.spark.SparkContext, ids: Iterable[Int]): Unit =
+    ids.foreach(id => sc.env.blockManager.master.removeRdd(id, blocking = true))
+}
