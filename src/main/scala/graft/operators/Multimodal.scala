@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns with typed metadata — the
   * engine's job at 100 TB is partitioning, batching and schema
-  * discipline, not codec work. The container has no image/audio
-  * libraries, so `decodeFrame` below is a clearly-marked deterministic
-  * STUB; the Spark-side plumbing (schema, per-partition batch iteration,
-  * feature extraction shape) is real and tested in MultimodalSpec.
+  * discipline, plus whatever codec work the runtime can actually do:
+  * IMAGE decode is REAL (`javax.imageio` ships in the JDK — see
+  * `decodeImageStats` / q34_png_decode, which round-trips genuine PNGs
+  * and oracle-checks the decoded pixel sums); audio/video decode remains
+  * a clearly-marked deterministic STUB (no such codecs in the JDK or
+  * container). The Spark-side plumbing (schema, per-partition batch
+  * iteration, feature extraction shape) is identical for both arms and
+  * tested in MultimodalSpec.
   *
   * The fixture media table is synthesized deterministically from
   * `documents` (payload = UTF-8 bytes of `text`), so the metadata query
@@ -46,17 +50,106 @@ object Multimodal {
       (lit(16) + col("doc_id") % 64).cast("int").as("width"),
       (lit(16) + col("doc_id") % 48).cast("int").as("height"))
 
-  /** STUB decoder — stands in for an image/audio codec (none in this
-    * container). Deterministic: "brightness" is the mean byte value,
-    * "frames" a fixed chunking of the payload. A real deployment swaps
-    * only this function; the distributed plumbing is unchanged. */
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+      bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+
+  /** REAL image decoder — `javax.imageio` ships in every JDK, so PNG
+    * payloads are genuinely decoded on the executor (no external media
+    * library needed). Returns (decoded width, decoded height, sum of
+    * r+g+b over all pixels) — integer-exact, so the PNG round trip is
+    * oracle-checkable: encode and decode are lossless, hence the pixel
+    * sums equal what the generation formula predicts. */
+  def decodeImageStats(r: MediaRecord): ImagePixels = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var lum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    ImagePixels(r.doc_id, w, h, lum)
+  }
+
+  /** Decoder: PNG image payloads go through the REAL `javax.imageio`
+    * decode (width/height/brightness from decoded pixels); audio/video
+    * payloads remain a clearly-marked deterministic STUB (no audio/video
+    * codecs in the JDK or container) — "brightness" is the mean byte
+    * value, "frames" a fixed chunking. A real deployment swaps only the
+    * stub arm; the distributed plumbing is identical for both. */
   def decodeFrame(r: MediaRecord): MediaFeatures = {
-    val bytes = r.payload
-    val brightness =
-      if (bytes.isEmpty) 0.0
-      else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length / 255.0
-    MediaFeatures(r.doc_id, bytes.length, r.width, r.height,
-      brightness, bytes.length / 64 + 1)
+    if (r.media_type == "image" && isPng(r.payload)) {
+      val px = decodeImageStats(r)
+      MediaFeatures(r.doc_id, r.payload.length, px.width, px.height,
+        px.lum_sum.toDouble / (px.width.toLong * px.height * 3) / 255.0, 1)
+    } else {
+      val bytes = r.payload
+      val brightness =
+        if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length / 255.0
+      MediaFeatures(r.doc_id, bytes.length, r.width, r.height,
+        brightness, bytes.length / 64 + 1)
+    }
+  }
+
+  /** Decoded-image stats: dimensions + exact pixel-luminance sum. */
+  final case class ImagePixels(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      lum_sum: Long)
+
+  /** Deterministic PNG: pixel (x, y) of document `docId` is
+    *   r = (docId·7 + x·3 + y·5) mod 256
+    *   g = (docId·11 + x·13 + y·2) mod 256
+    *   b = (docId·3 + x + y·17) mod 256
+    * encoded with the JDK's ImageIO PNG writer. The formula (not the
+    * bytes) is what the oracle replays — PNG is lossless, so decoded
+    * sums must match the formula exactly. */
+  def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 7 + x * 3 + y * 5) % 256).toInt
+        val g = ((docId * 11 + x * 13 + y * 2) % 256).toInt
+        val b = ((docId * 3 + x + y * 17) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image table with REAL PNG payloads, synthesized deterministically
+    * from `documents` (one image per doc_id ≡ 0 mod 3, the rows
+    * `mediaTable` types as "image"). */
+  def pngTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+        (lit(16) + col("doc_id") % 48).cast("int").as("height"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        MediaRecord(id, encodePng(id, w, h), "image", w, h) }
   }
 
   /** Typed per-partition decode pipeline: the batch shape a Pandas-UDF /
@@ -179,8 +272,39 @@ object Multimodal {
       |  CAST((frames + 2) // 3 AS INT) AS n_kept
       |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** q34_png_decode: encode each image row as a REAL PNG, decode it back
+    * with `javax.imageio` on the executors, emit the decoded dimensions
+    * and exact pixel sums. The oracle replays the pixel-generation
+    * formula in SQL — any defect in the encode→decode round trip (wrong
+    * dims, channel order, color model, truncation) breaks the match. */
+  private def q34png(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir)
+      .mapPartitions(_.map(decodeImageStats))
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  private val q34pngSql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 64 AS INT) AS w,
+      |         CAST(16 + doc_id % 48 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |e AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id * 7 + (i % w) * 3 + (i // w) * 5) % 256
+      |    + (doc_id * 11 + (i % w) * 13 + (i // w) * 2) % 256
+      |    + (doc_id * 3 + (i % w) + (i // w) * 17) % 256 AS lum
+      |  FROM e)
+      |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(SUM(lum) AS BIGINT) AS lum_sum
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_media_meta", q34meta, Some(q34metaSql)),
     QueryDef("q34_media_decode", q34decode, Some(q34decodeSql)),
-    QueryDef("q34_media_resize", q34resize, Some(q34resizeSql)))
+    QueryDef("q34_media_resize", q34resize, Some(q34resizeSql)),
+    QueryDef("q34_png_decode", q34png, Some(q34pngSql)))
 }

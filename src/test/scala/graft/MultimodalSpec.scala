@@ -78,4 +78,55 @@ class MultimodalSpec extends AnyFunSuite {
     // per predicted lang: cells are unique
     assert(cells.select("lang", "pred_lang").distinct().count() == cells.count())
   }
+
+  test("PNG decode is REAL: javax.imageio round-trips the deterministic image") {
+    // encode -> decode through the actual JDK PNG codec and check the
+    // decoded pixels against the generation formula, pixel by pixel
+    val (id, w, h) = (42L, 20, 13)
+    val png = Multimodal.encodePng(id, w, h)
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47),
+      "payload is not a PNG")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    var expected = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+      val g = ((id * 11 + x * 13 + y * 2) % 256).toInt
+      val b = ((id * 3 + x + y * 17) % 256).toInt
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == r && ((rgb >> 8) & 0xff) == g && (rgb & 0xff) == b,
+        s"pixel ($x,$y) mismatch after PNG round trip")
+      expected += r + g + b
+    }
+    val stats = Multimodal.decodeImageStats(
+      Multimodal.MediaRecord(id, png, "image", w, h))
+    assert(stats.width == w && stats.height == h && stats.lum_sum == expected)
+  }
+
+  test("decodeFrame routes PNG payloads through the real decoder") {
+    val (id, w, h) = (7L, 16, 16)
+    val png = Multimodal.encodePng(id, w, h)
+    val f = Multimodal.decodeFrame(Multimodal.MediaRecord(id, png, "image", w, h))
+    val stats = Multimodal.decodeImageStats(
+      Multimodal.MediaRecord(id, png, "image", w, h))
+    assert(f.width == w && f.height == h && f.n_frames == 1)
+    assert(f.brightness == stats.lum_sum.toDouble / (w.toLong * h * 3) / 255.0)
+    // non-PNG payloads still take the documented stub arm
+    val stub = Multimodal.decodeFrame(
+      Multimodal.MediaRecord(id, "hello".getBytes("UTF-8"), "audio", w, h))
+    assert(stub.n_frames == "hello".length / 64 + 1)
+  }
+
+  test("q34_png_decode distributed pipeline matches driver-side decode") {
+    val out = SparkEntry.queries("q34_png_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.take(5).foreach { row =>
+      val id = row.getLong(0)
+      val (w, hh) = ((16 + id % 64).toInt, (16 + id % 48).toInt)
+      val stats = Multimodal.decodeImageStats(
+        Multimodal.MediaRecord(id, Multimodal.encodePng(id, w, hh), "image", w, hh))
+      assert(row.getInt(1) == stats.width && row.getInt(2) == stats.height
+        && row.getLong(3) == stats.lum_sum, s"doc $id mismatch")
+    }
+  }
 }
