@@ -102,30 +102,40 @@ object Metrics {
   }
 
   private val buffer = new ConcurrentLinkedQueue[QueryMetric]()
-  @volatile private var currentQuery: Option[String] = None
   @volatile private var sinkPath: Option[String] = None
 
-  /** Name the next execution(s); Verify/Runner set this per registry ID so
-    * the JSONL lines key on query IDs, not "save"/"count".
-    *
-    * The execution-listener bus delivers asynchronously, so an event from
-    * the PREVIOUS query can arrive after the tag has moved on and be
-    * misattributed. The tag is read at delivery time (the listener has no
-    * start hook carrying the name), so switching tags first drains the
-    * bus to a stable point — callers tag between queries, where the extra
-    * ~500 ms is irrelevant next to the query itself. */
-  def tagQuery(name: String): Unit = {
-    if (currentQuery.isDefined) awaitQuiesce(3000)
-    currentQuery = Some(name)
+  /** Tag switches as a time-ordered map: switch time → name. Attribution
+    * happens by QUERY START TIME, not delivery time, so the asynchronous
+    * listener bus cannot misattribute a late event from the previous
+    * query to the new tag (the r5 design drained the bus on each switch
+    * and still documented a residual race past the 3 s timeout — this
+    * one is race-free by construction and needs no draining). */
+  private val timeline = new java.util.concurrent.ConcurrentSkipListMap[Long, String]()
+
+  /** Name the execution(s) STARTED from now on; Verify/Runner set this
+    * per registry ID so the JSONL lines key on query IDs, not
+    * "save"/"count". Cheap — appends one timeline entry. */
+  def tagQuery(name: String): Unit =
+    timeline.put(System.currentTimeMillis(), name)
+
+  /** The tag active when this execution began planning. Every
+    * QueryExecution carries a QueryPlanningTracker whose phase summaries
+    * are stamped with wall-clock start times; the earliest one (analysis)
+    * is the query's birth — look up the tag timeline at that instant. */
+  private def tagFor(qe: QueryExecution, fallback: String): String = {
+    val startMs = qe.tracker.phases.values.map(_.startTimeMs)
+      .minOption.getOrElse(System.currentTimeMillis())
+    Option(timeline.floorEntry(startMs)).map(_.getValue).getOrElse(fallback)
   }
 
-  @volatile private var installed = false
+  private val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private lazy val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      val m = fromExecution(currentQuery.getOrElse(funcName), qe, durationNs)
+      val m = fromExecution(tagFor(qe, funcName), qe, durationNs)
       buffer.add(m)
       sinkPath.foreach { p =>
+        // single append-writer: the listener bus delivers serially
         Files.write(Paths.get(p), (m.toJson + "\n").getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
@@ -136,14 +146,13 @@ object Metrics {
   /** Register the listener on the session; optionally stream JSONL to
     * `path`. Idempotent per JVM for the common single-session case —
     * re-installing must NOT register the listener twice (every event
-    * would be double-recorded), only retarget the sink. */
+    * would be double-recorded; the CAS makes concurrent installers
+    * safe), only retarget the sink. */
   def install(spark: SparkSession, path: Option[String] = None): Unit = {
     sinkPath = path
     path.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    if (!installed) {
+    if (installed.compareAndSet(false, true))
       spark.listenerManager.register(listener)
-      installed = true
-    }
   }
 
   /** The execution-listener bus is asynchronous: wait until the recorded

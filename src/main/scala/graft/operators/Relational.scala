@@ -97,15 +97,22 @@ object Relational {
   private[graft] val ParquetCodecs = Seq("gzip", "lz4", "none", "snappy", "zstd")
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     // materialize the filtered source once — five writers share it
     // instead of re-running the scan+filter each; the five write jobs
     // are independent, so they run CONCURRENTLY (Spark's scheduler
     // interleaves jobs from multiple threads) — the matrix costs
-    // max(write) wall-clock, not sum(write)
+    // max(write) wall-clock, not sum(write).
+    // A DEDICATED fixed pool sized to the codec count: each task is one
+    // blocking Spark action, so the pool never queues a write behind
+    // another, and blocking the shared global pool (sized to CPU count,
+    // meant for compute) is avoided. No artificial timeout — a big-SF
+    // parquet write legitimately exceeds any fixed budget; failures
+    // still propagate through Await as the write job's own exception.
     val src = q01(s, dir).localCheckpoint()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ParquetCodecs.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val writes = ParquetCodecs.map { c =>
       c -> Future {
         val out = java.nio.file.Files.createTempDirectory(s"graft_codec_$c").toString
@@ -113,8 +120,9 @@ object Relational {
         out
       }
     }
+    try {
     val perCodec = writes.map { case (c, fut) =>
-      val out = Await.result(fut, 300.seconds)
+      val out = Await.result(fut, Duration.Inf)
       s.read.parquet(out)
         .agg(count(lit(1)).as("n"),
           graft.Canon.dsum(col("l_quantity")).as("sum_qty"),
@@ -122,6 +130,7 @@ object Relational {
         .select(lit(c).as("codec"), col("n"), col("sum_qty"), col("sum_okey"))
     }
     perCodec.reduce(_.unionAll(_)).orderBy(col("codec").asc_nulls_last)
+    } finally pool.shutdown()
   }
 
   private val q48Sql =

@@ -119,6 +119,38 @@ class DedupBoundsSpec extends AnyFunSuite {
         s"space of the shared tail is ~${n * (n + 1) / 2}")
   }
 
+  test("prefix-filter branch equals inverted-index branch on a mixed-similarity corpus") {
+    import spark.implicits._
+    // Differential proof of the "no misses" claim (ADVICE r5): both
+    // strategies FORCED at the same thresholds over a corpus that mixes
+    // exact twins (jac 1.0), high-overlap near-dups (one word swapped),
+    // boundary pairs (~threshold), and unrelated docs — the prefix
+    // filter must return the exact same pair set as the inverted index,
+    // including at the t = 0.7 strategy boundary.
+    val docs = (
+      // exact twins
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+        // near-dup: one word differs -> jac just under 1
+        (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+        // partial overlap around the boundary
+        (4L, "alpha beta gamma delta nine ten eleven twelve"),
+        (5L, "one two three alpha beta gamma delta four")) ++
+      // unrelated fillers
+      (100L until 160L).map(i => (i, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f"))
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.7, 0.75, 0.85)) {
+      val inv = graft.operators.Dedup
+        .ngramJaccardPairsImpl(docs, t, 10000, forcePrefix = Some(false))
+        .collect().map(_.toString).sorted.toSeq
+      val pref = graft.operators.Dedup
+        .ngramJaccardPairsImpl(docs, t, 10000, forcePrefix = Some(true))
+        .collect().map(_.toString).sorted.toSeq
+      assert(pref == inv, s"strategy mismatch at t=$t:\n inv=$inv\n pref=$pref")
+      assert(inv.nonEmpty, s"differential is vacuous at t=$t (no pairs)")
+    }
+  }
+
   // ---- boundedPairs losslessness + cell bound ----------------------------
 
   test("boundedPairs salted path is lossless and bounds cell arrays") {

@@ -48,4 +48,33 @@ class MetricsSpec extends AnyFunSuite {
     assert(ms.exists(_.observed.contains("fuzzy_candidates")),
       s"fuzzy_candidates observation missing: ${ms.map(_.observed.keys)}")
   }
+
+  test("attribution is by query start time: rapid tag switches cannot misattribute") {
+    // The r5 design read a single volatile tag at DELIVERY time and
+    // therefore had to drain the bus on every switch (with a documented
+    // residual race past the timeout). Attribution now keys on the
+    // execution's planning start against the tag timeline — so tagging
+    // the next query immediately, with the previous one's events still
+    // in flight, must still attribute each execution correctly.
+    Metrics.install(spark)
+    Metrics.drain()
+    val t = Tables.t(spark, sf, "orders")
+    Metrics.tagQuery("rapid_a")
+    val a = t.groupBy("o_orderstatus").count()
+    a.collect()
+    Metrics.tagQuery("rapid_b") // no awaitQuiesce between switches
+    val b = t.groupBy("o_orderpriority").count()
+    b.collect()
+    Metrics.tagQuery("rapid_c")
+    val c = t.select(count(lit(1))).collect()
+    assert(c.nonEmpty)
+    Metrics.awaitQuiesce()
+    val ms = Metrics.drain().filter(_.query.startsWith("rapid_"))
+    assert(ms.map(_.query).toSet == Set("rapid_a", "rapid_b", "rapid_c"),
+      s"tags recorded: ${ms.map(_.query)}")
+    // the three executions landed under three DIFFERENT tags — a stale
+    // volatile tag would have collapsed at least two into one name
+    assert(ms.groupBy(_.query).forall(_._2.size == 1),
+      s"duplicate attributions: ${ms.map(_.query)}")
+  }
 }
