@@ -129,28 +129,52 @@ object Metrics {
   }
 
   private val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var plansDirPath: Option[String] = None
+
+  /** The EXECUTED plan, formatted — after the action, so AQE wrappers
+    * print their final shape (`isFinalPlan=true`, materialized stages),
+    * not the initial static guess. This is the artifact a plan review
+    * at 100 TB starts from. */
+  def executedPlanString(qe: QueryExecution): String =
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def safeName(tag: String): String =
+    tag.map(c => if (c.isLetterOrDigit || c == '_' || c == '-') c else '_')
 
   private lazy val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      val m = fromExecution(tagFor(qe, funcName), qe, durationNs)
+      val name = tagFor(qe, funcName)
+      val m = fromExecution(name, qe, durationNs)
       buffer.add(m)
       sinkPath.foreach { p =>
         // single append-writer: the listener bus delivers serially
         Files.write(Paths.get(p), (m.toJson + "\n").getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.APPEND)
       }
+      plansDirPath.foreach { d =>
+        // one artifact per query tag; a multi-execution query (streams,
+        // multi-action operators) keeps its LAST executed plan
+        Files.write(Paths.get(d, s"${safeName(name)}.plan.txt"),
+          executedPlanString(qe).getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+          StandardOpenOption.WRITE)
+      }
     }
     override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
   }
 
   /** Register the listener on the session; optionally stream JSONL to
-    * `path`. Idempotent per JVM for the common single-session case —
+    * `path` and/or dump one executed-plan artifact per query tag into
+    * `plansDir`. Idempotent per JVM for the common single-session case —
     * re-installing must NOT register the listener twice (every event
     * would be double-recorded; the CAS makes concurrent installers
-    * safe), only retarget the sink. */
-  def install(spark: SparkSession, path: Option[String] = None): Unit = {
+    * safe), only retarget the sinks. */
+  def install(spark: SparkSession, path: Option[String] = None,
+      plansDir: Option[String] = None): Unit = {
     sinkPath = path
     path.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    plansDir.foreach(d => Files.createDirectories(Paths.get(d)))
+    plansDirPath = plansDir
     if (installed.compareAndSet(false, true))
       spark.listenerManager.register(listener)
   }

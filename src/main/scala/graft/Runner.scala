@@ -11,17 +11,20 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.Runner q62_fuzzy_join /root/testdata/sf0.01"
   *
   * Flags: `--rows=N` caps printed rows (default 20; hash always covers
-  * all rows), `--plan` additionally prints the formatted physical plan,
-  * `--sql` prints the registered DuckDB oracle SQL if one exists,
-  * `--metrics` prints the per-query observability line (observed metric
-  * points + shuffle bytes/records + spill — see [[Metrics]]).
+  * all rows), `--plan` additionally prints the formatted physical plan
+  * BEFORE execution (the static guess), `--explain` prints the EXECUTED
+  * adaptive plan after the run (`isFinalPlan=true`, materialized
+  * stages — what AQE actually did), `--sql` prints the registered
+  * DuckDB oracle SQL if one exists, `--metrics` prints the per-query
+  * observability line (observed metric points + shuffle bytes/records +
+  * spill — see [[Metrics]]).
   */
 object Runner {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     if (pos.isEmpty) {
       System.err.println(
-        "usage: Runner <query_id> [sfDir] [--rows=N] [--plan] [--sql] [--metrics]")
+        "usage: Runner <query_id> [sfDir] [--rows=N] [--plan] [--explain] [--sql] [--metrics]")
       System.err.println("queries: " + SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
       sys.exit(2)
     }
@@ -67,6 +70,11 @@ object Runner {
     println(s"rows: ${rows.length}")
     println("sha256: " + digest.digest().map("%02x".format(_)).mkString)
     canon.show(maxRows, truncate = false)
+    if (flags.contains("--explain")) {
+      // the rows were just collected, so AQE has finalized this plan
+      println("-- executed plan (adaptive, final) --")
+      println(Metrics.executedPlanString(canon.queryExecution))
+    }
     if (flags.contains("--metrics")) {
       Metrics.awaitQuiesce()
       Metrics.drain().foreach(m => println("metrics: " + m.toJson))

@@ -23,7 +23,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // per-query observability export (observed metrics + shuffle bill)
-    Metrics.install(spark, Some(s"$outDir/metrics.jsonl"))
+    // + one EXECUTED-plan artifact per query under plans/ — the
+    // library-shaped remainder of the reference's ops/REST surface
+    Metrics.install(spark, Some(s"$outDir/metrics.jsonl"),
+      plansDir = Some(s"$outDir/plans"))
     SparkEntry.queries.foreach { case (name, fn) =>
       Metrics.tagQuery(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

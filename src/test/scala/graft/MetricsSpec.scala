@@ -77,4 +77,19 @@ class MetricsSpec extends AnyFunSuite {
     assert(ms.groupBy(_.query).forall(_._2.size == 1),
       s"duplicate attributions: ${ms.map(_.query)}")
   }
+
+  test("executed-plan artifacts are dumped per query tag") {
+    val plansDir = java.nio.file.Files.createTempDirectory("graft_plans").toString
+    Metrics.install(spark, plansDir = Some(plansDir))
+    Metrics.drain()
+    Metrics.tagQuery("plan_probe")
+    Tables.t(spark, sf, "orders").groupBy("o_orderstatus").count().collect()
+    Metrics.awaitQuiesce()
+    val f = java.nio.file.Paths.get(plansDir, "plan_probe.plan.txt")
+    assert(java.nio.file.Files.exists(f), s"no plan artifact at $f")
+    val txt = java.nio.file.Files.readString(f)
+    assert(txt.contains("== Physical Plan ==") && txt.contains("Final Plan"),
+      s"artifact is not an executed adaptive plan:\n${txt.take(300)}")
+    Metrics.install(spark) // detach the plans sink for later suites
+  }
 }
