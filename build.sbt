@@ -1,6 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
-name := "celebornspark"
+ThisBuild / organization := "io.graft"
+name := "spark-graft"
+description := "Spark-native analytics engine: relational + streaming + LLM-corpus operators with DuckDB-replayable oracles"
+// Spark is PROVIDED at runtime (spark-shell/spark-submit bring it):
+// the packaged jar must carry only graft classes, which `sbt package`
+// (unmanagedBase is not bundled) already guarantees.
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
