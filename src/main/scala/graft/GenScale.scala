@@ -90,7 +90,7 @@ object GenScale {
       .withColumn("n_chars", length(col("text")).cast("long")))
     write("embeddings", rep(raw("embeddings")).select(off("vec_id"),
       when(col("cp") === 0, col("embedding")).otherwise(
-        expr(s"""transform(sequence(0, 63),
+        expr(s"""transform(sequence(0, ${operators.VectorSql.Dim - 1}),
                  d -> cast(pmod(hash(vec_id + cp * ${Stride}L, d), 1000000)
                       / 1000000.0 - 0.5 as float))""")).as("embedding"),
       col("label")))

@@ -114,9 +114,19 @@ object Metrics {
 
   /** Name the execution(s) STARTED from now on; Verify/Runner set this
     * per registry ID so the JSONL lines key on query IDs, not
-    * "save"/"count". Cheap — appends one timeline entry. */
-  def tagQuery(name: String): Unit =
-    timeline.put(System.currentTimeMillis(), name)
+    * "save"/"count". Cheap — appends one timeline entry. Keys are made
+    * strictly monotonic (two switches inside one millisecond would
+    * otherwise overwrite), and entries more than an hour older than the
+    * new switch are pruned — far beyond any execution's planning-start
+    * lag, so `tagFor`'s floor lookup never loses an in-flight tag while
+    * the map stays bounded over a long-lived session. */
+  def tagQuery(name: String): Unit = timeline.synchronized {
+    val now = System.currentTimeMillis()
+    val key = if (!timeline.isEmpty && timeline.lastKey() >= now)
+      timeline.lastKey() + 1 else now
+    timeline.put(key, name)
+    timeline.headMap(key - 3600000L).clear()
+  }
 
   /** The tag active when this execution began planning. Every
     * QueryExecution carries a QueryPlanningTracker whose phase summaries

@@ -23,10 +23,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // per-query observability export (observed metrics + shuffle bill)
-    // + one EXECUTED-plan artifact per query under plans/ — the
-    // library-shaped remainder of the reference's ops/REST surface
-    Metrics.install(spark, Some(s"$outDir/metrics.jsonl"),
-      plansDir = Some(s"$outDir/plans"))
+    // + one EXECUTED-plan artifact per query — written to a SIBLING
+    // directory (`<outDir>_plans`), never inside outDir: the driver
+    // enumerates outDir as one-parquet-dir-per-query, and anything else
+    // there shows up as a spurious error row in CORRECTNESS_r*.json.
+    Metrics.install(spark, Some(s"${outDir}_plans/metrics.jsonl"),
+      plansDir = Some(s"${outDir}_plans"))
     SparkEntry.queries.foreach { case (name, fn) =>
       Metrics.tagQuery(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -49,12 +49,30 @@ object Graphs {
     * (per-job directory, sweep old round snapshots). */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
       checkpointDir: Option[String] = None): DataFrame = {
+    // setCheckpointDir mutates SHARED SparkContext state; save and (in the
+    // finally below) restore the previous directory so a concurrent job
+    // using reliable checkpointing is not silently redirected. Round
+    // snapshots accumulate under `dir` — run with
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true or sweep the
+    // per-job directory afterwards (same note as connectedComponents).
+    val sc = edges.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
     val mat: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    try pageRankRounds(mat, edges, iters, damping)
+    finally if (checkpointDir.isDefined)
+      sc.setCheckpointDir(prevCkptDir.orNull)
+  }
+
+  /** Fixpoint body of [[pageRank]]; `mat` is the per-round materializer
+    * (eager checkpoint, so all rounds run before the caller restores the
+    * checkpoint directory). */
+  private def pageRankRounds(mat: DataFrame => DataFrame, edges: DataFrame,
+      iters: Int, damping: Double): DataFrame = {
     val e = mat(edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct())
     val nodes = mat(e.select(col("src").as("id"))

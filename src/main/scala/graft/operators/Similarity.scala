@@ -240,6 +240,13 @@ object Similarity {
   private val NProbe = 10
   private val TrainIters = 2
 
+  /** Hard cap on the k-means training-sample size. The DECIMAL(28,12)
+    * centroid mean in [[trainIvfCentroids]] is bit-parity-reproducible
+    * in DuckDB only while each per-(c_id, pos) sum's unscaled value
+    * stays below 2^52 ≈ 4.5e15; with |v| < 1 that bounds the GROUP (and
+    * hence sample) size at ~4.5e3 rows. 4096 leaves margin. */
+  val MaxTrainRows = 4096
+
   /** Nearest trained centroid per corpus vector: one broadcast-join pass
     * + an argmax AGGREGATION keyed by vec_id — not a rank window: the
     * aggregate combines map-side (corpus×k rows collapse to corpus rows
@@ -268,10 +275,22 @@ object Similarity {
     * run-dependent), then `localCheckpoint` cuts the growing lineage
     * (same fixpoint discipline as Clusters.connectedComponents). Empty
     * clusters keep their previous centroid. At 100 TB this runs over a
-    * bounded deterministic sample, not the corpus — pass one in. */
+    * bounded deterministic sample, not the corpus — pass one in, at most
+    * [[MaxTrainRows]] rows (enforced below: the mean's bit-parity
+    * argument needs every per-(c_id, pos) DECIMAL sum's unscaled value
+    * under 2^52). */
   def trainIvfCentroids(s: SparkSession, corpus: DataFrame,
       k: Int = Centroids, iters: Int = TrainIters): DataFrame = {
     val e = corpus.select(col("vec_id"), col("embedding"))
+    // A LIMIT-ed count: cheap even against a huge input, and it turns a
+    // silent Spark/DuckDB parity break into a loud error.
+    val nRows = e.limit(MaxTrainRows + 1).count()
+    require(nRows <= MaxTrainRows,
+      s"trainIvfCentroids: training sample has > $MaxTrainRows rows; " +
+        "the DECIMAL(28,12) mean is only exactly double-roundable " +
+        "(Spark == DuckDB bit parity) while each per-(c_id,pos) sum's " +
+        "unscaled value stays below 2^52 — pass a bounded sample " +
+        "(e.g. the 20*k smallest-md5 rows, as annIvfTopK does)")
     val wSeed = Window.orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
     var cent = e
       .withColumn("r", md5(col("vec_id").cast("string")))
@@ -282,8 +301,11 @@ object Similarity {
       .localCheckpoint()
     for (_ <- 1 to iters) {
       // Mean = exact DECIMAL sum, then ONE double division: with |v| < 1
-      // and ≤ 20k sample rows the sum's unscaled value stays below 2^52,
-      // so decimal→double is the exactly-rounded double(unscaled)/1e12 in
+      // each per-(c_id,pos) sum's magnitude is < the group's row count,
+      // so its DECIMAL(28,12) unscaled value is < rows·10^12 — below
+      // 2^52 (~4.5e15) while rows ≤ MaxTrainRows (4096, enforced at
+      // entry; the default trainSample is 20·k = 320 rows). Under 2^52
+      // decimal→double is the exactly-rounded double(unscaled)/1e12 in
       // both engines and the division is a single IEEE-exact op — the
       // oracle (q29ivfCandsSql) replays it bit-for-bit. Decimal DIVISION
       // here would instead expose each engine's decimal scale/rounding
