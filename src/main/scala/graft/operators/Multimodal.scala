@@ -83,16 +83,25 @@ object Multimodal {
   }
 
   /** Decoder: PNG image payloads go through the REAL `javax.imageio`
-    * decode (width/height/brightness from decoded pixels); audio/video
-    * payloads remain a clearly-marked deterministic STUB (no audio/video
-    * codecs in the JDK or container) — "brightness" is the mean byte
-    * value, "frames" a fixed chunking. A real deployment swaps only the
-    * stub arm; the distributed plumbing is identical for both. */
+    * decode (width/height/brightness from decoded pixels); WAV audio
+    * payloads go through the REAL `javax.sound.sampled` decode
+    * ("brightness" = normalized RMS amplitude of the decoded samples,
+    * "frames" = decoded sample-frame count); only VIDEO remains a
+    * clearly-marked deterministic STUB (no video codec in the JDK or
+    * container) — "brightness" is the mean byte value, "frames" a fixed
+    * chunking. A real deployment swaps only the stub arm; the
+    * distributed plumbing is identical for all three. */
   def decodeFrame(r: MediaRecord): MediaFeatures = {
     if (r.media_type == "image" && isPng(r.payload)) {
       val px = decodeImageStats(r)
       MediaFeatures(r.doc_id, r.payload.length, px.width, px.height,
         px.lum_sum.toDouble / (px.width.toLong * px.height * 3) / 255.0, 1)
+    } else if (r.media_type == "audio" && isWav(r.payload)) {
+      val ws = decodeWavStats(r)
+      val rms = if (ws.n_samples == 0) 0.0
+        else math.sqrt(ws.amp_sq_sum.toDouble / ws.n_samples) / 32768.0
+      MediaFeatures(r.doc_id, r.payload.length, r.width, r.height,
+        rms, ws.n_samples.toInt)
     } else {
       val bytes = r.payload
       val brightness =
@@ -101,6 +110,87 @@ object Multimodal {
       MediaFeatures(r.doc_id, bytes.length, r.width, r.height,
         brightness, bytes.length / 64 + 1)
     }
+  }
+
+  /** RIFF/WAVE container sniff (mirrors [[isPng]]). */
+  private def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Decoded-audio stats: format fields + integer-exact sample sums. */
+  final case class WavSamples(
+      doc_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_samples: Long,
+      amp_sum: Long,
+      amp_sq_sum: Long)
+
+  /** REAL audio decoder — `javax.sound.sampled` ships in every JDK, so
+    * WAV payloads are genuinely parsed on the executor (container/format
+    * header + PCM frames), same argument as the PNG arm. Returns the
+    * decoded format fields plus integer-exact Σ amp and Σ amp² over the
+    * 16-bit signed samples, so the WAV round trip is oracle-checkable:
+    * PCM encode/decode is lossless, hence the sums equal what the
+    * generation formula predicts. */
+  def decodeWavStats(r: MediaRecord): WavSamples = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+      fmt.getChannels == 1,
+      s"unexpected WAV format for doc ${r.doc_id}: $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sum = 0L
+    var sq = 0L
+    var i = 0
+    while (i < n) {
+      val amp = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toLong
+      sum += amp
+      sq += amp * amp
+      i += 1
+    }
+    WavSamples(r.doc_id, fmt.getSampleRate.toInt, fmt.getChannels, n, sum, sq)
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: sample i of document `docId` is
+    *   amp_i = (docId·31 + i·17) mod 65536 − 32768
+    * written little-endian through the JDK's `AudioSystem` WAVE writer.
+    * As with [[encodePng]], the FORMULA (not the bytes) is what the
+    * oracle replays — PCM is lossless, so decoded sums must match the
+    * formula exactly. */
+  def encodeWav(docId: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val amp = ((docId * 31 + i.toLong * 17) % 65536 - 32768).toInt
+      pcm(2 * i) = (amp & 0xff).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio table with REAL WAV payloads, synthesized deterministically
+    * from `documents` (one clip per doc_id ≡ 1 mod 3, the rows
+    * `mediaTable` types as "audio"); 64–319 samples per clip. */
+  def wavTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"),
+        (lit(64) + col("doc_id") % 256).cast("int").as("ns"))
+      .as[(Long, Int)]
+      .map { case (id, ns) =>
+        MediaRecord(id, encodeWav(id, ns), "audio", 0, 0) }
   }
 
   /** Decoded-image stats: dimensions + exact pixel-luminance sum. */
@@ -302,9 +392,40 @@ object Multimodal {
       |  CAST(SUM(lum) AS BIGINT) AS lum_sum
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** q34_wav_decode: encode each audio row as a REAL WAV, decode it back
+    * with `javax.sound.sampled` on the executors, emit the decoded
+    * format fields and exact sample sums. The oracle replays the
+    * sample-generation formula in SQL — any defect in the encode→decode
+    * round trip (header parse, endianness, sign, frame count) breaks the
+    * match. */
+  private def q34wav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir)
+      .mapPartitions(_.map(decodeWavStats))
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  private val q34wavSql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS ns
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |e AS (
+      |  SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS i FROM d),
+      |a AS (
+      |  SELECT doc_id, ns, (doc_id * 31 + i * 17) % 65536 - 32768 AS amp
+      |  FROM e)
+      |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+      |  CAST(1 AS INT) AS n_channels,
+      |  CAST(MAX(ns) AS BIGINT) AS n_samples,
+      |  CAST(SUM(amp) AS BIGINT) AS amp_sum,
+      |  CAST(SUM(amp * amp) AS BIGINT) AS amp_sq_sum
+      |FROM a GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_media_meta", q34meta, Some(q34metaSql)),
     QueryDef("q34_media_decode", q34decode, Some(q34decodeSql)),
     QueryDef("q34_media_resize", q34resize, Some(q34resizeSql)),
-    QueryDef("q34_png_decode", q34png, Some(q34pngSql)))
+    QueryDef("q34_png_decode", q34png, Some(q34pngSql)),
+    QueryDef("q34_wav_decode", q34wav, Some(q34wavSql)))
 }

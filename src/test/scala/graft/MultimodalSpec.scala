@@ -129,4 +129,53 @@ class MultimodalSpec extends AnyFunSuite {
         && row.getLong(3) == stats.lum_sum, s"doc $id mismatch")
     }
   }
+
+  test("WAV decode is REAL: javax.sound.sampled round-trips the deterministic clip") {
+    // encode -> decode through the actual JDK WAVE codec and check the
+    // decoded samples against the generation formula, sample by sample
+    val (id, ns) = (43L, 100)
+    val wav = Multimodal.encodeWav(id, ns)
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF" &&
+      wav.slice(8, 12).map(_.toChar).mkString == "WAVE",
+      "payload is not a RIFF/WAVE container")
+    val stats = Multimodal.decodeWavStats(
+      Multimodal.MediaRecord(id, wav, "audio", 0, 0))
+    var (sum, sq) = (0L, 0L)
+    for (i <- 0 until ns) {
+      val amp = (id * 31 + i.toLong * 17) % 65536 - 32768
+      sum += amp; sq += amp * amp
+    }
+    assert(stats.sample_rate == 8000 && stats.n_channels == 1)
+    assert(stats.n_samples == ns && stats.amp_sum == sum && stats.amp_sq_sum == sq)
+  }
+
+  test("decodeFrame routes WAV payloads through the real decoder") {
+    val (id, ns) = (13L, 200)
+    val wav = Multimodal.encodeWav(id, ns)
+    val f = Multimodal.decodeFrame(Multimodal.MediaRecord(id, wav, "audio", 0, 0))
+    val stats = Multimodal.decodeWavStats(
+      Multimodal.MediaRecord(id, wav, "audio", 0, 0))
+    assert(f.n_frames == ns)
+    assert(f.brightness ==
+      math.sqrt(stats.amp_sq_sum.toDouble / stats.n_samples) / 32768.0)
+    // non-WAV audio payloads still take the documented stub arm
+    val stub = Multimodal.decodeFrame(
+      Multimodal.MediaRecord(id, "hello".getBytes("UTF-8"), "audio", 0, 0))
+    assert(stub.n_frames == "hello".length / 64 + 1)
+  }
+
+  test("q34_wav_decode distributed pipeline matches driver-side decode") {
+    val out = SparkEntry.queries("q34_wav_decode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.take(5).foreach { row =>
+      val id = row.getLong(0)
+      val ns = (64 + id % 256).toInt
+      val stats = Multimodal.decodeWavStats(
+        Multimodal.MediaRecord(id, Multimodal.encodeWav(id, ns), "audio", 0, 0))
+      assert(row.getInt(1) == 8000 && row.getInt(2) == 1
+        && row.getLong(3) == stats.n_samples
+        && row.getLong(4) == stats.amp_sum
+        && row.getLong(5) == stats.amp_sq_sum, s"doc $id mismatch")
+    }
+  }
 }
