@@ -60,7 +60,13 @@ object GenScale {
     def off(c: String) = (col(c) + col("cp") * Stride).as(c)
 
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      // repartition before writing: the sf0.1 sources are single small
+      // files, so the explode would otherwise run in ONE task and emit
+      // ONE file with ONE row group — a layout that serializes every
+      // downstream scan and defeats AQE skew splitting entirely (skew
+      // splits cut at mapper boundaries; a monolithic row group gives
+      // one mapper all the bytes). 32 files ≈ the bench's core count.
+      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[genscale] $name written")
     }
 

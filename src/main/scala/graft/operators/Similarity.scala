@@ -281,9 +281,13 @@ object Similarity {
     * under 2^52). */
   def trainIvfCentroids(s: SparkSession, corpus: DataFrame,
       k: Int = Centroids, iters: Int = TrainIters): DataFrame = {
-    val e = corpus.select(col("vec_id"), col("embedding"))
-    // A LIMIT-ed count: cheap even against a huge input, and it turns a
-    // silent Spark/DuckDB parity break into a loud error.
+    // Materialize the sample ONCE: it is re-read every Lloyd round and
+    // again by the size guard below, and localCheckpoint cuts whatever
+    // expensive lineage produced it (for the default path, a
+    // corpus-wide TakeOrdered).
+    val e = corpus.select(col("vec_id"), col("embedding")).localCheckpoint()
+    // A LIMIT-ed count over the materialized sample: cheap, and it turns
+    // a silent Spark/DuckDB parity break into a loud error.
     val nRows = e.limit(MaxTrainRows + 1).count()
     require(nRows <= MaxTrainRows,
       s"trainIvfCentroids: training sample has > $MaxTrainRows rows; " +

@@ -77,6 +77,62 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L))) // cross-lang pairs blocked out
   }
 
+  test("segment path equals brute force and the bucket path on a mixed corpus") {
+    import spark.implicits._
+    // deterministic mix: planted near-dups at lev 1/3/8, a boundary pair
+    // at exactly maxDistance, far-apart docs, and short strings whose
+    // every pair qualifies
+    val rnd = new scala.util.Random(7)
+    def word() = ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3))
+    val bases = (0 until 40).map(i => (i * 10L, (0 until 12).map(_ => word()).mkString(" ")))
+    val edited = bases.take(10).map { case (id, t) =>
+      (id + 1, t.patch(rnd.nextInt(t.length - 9), "QQQ".take(1 + rnd.nextInt(3)), 2)) }
+    val shorts = Seq((900L, "ab"), (901L, "xyz"), (902L, ""))
+    // exactly-at-threshold pair: 8 substitutions → lev == maxDistance
+    val boundary = Seq((950L, "p" * 20), (951L, "p" * 12 + "q" * 8))
+    val docs = (bases ++ edited ++ shorts ++ boundary).toDF("doc_id", "text")
+    val seg = operators.FuzzyJoin.levenshteinPairsSegment(docs, maxDistance = 8)
+      .select("d1", "d2", "lev").as[(Long, Long, Long)].collect().toSet
+    val bkt = operators.FuzzyJoin.levenshteinPairs(docs, maxDistance = 8, bucketWidth = 9)
+      .select("d1", "d2", "lev").as[(Long, Long, Long)].collect().toSet
+    val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 8).toSet
+    assert(seg == brute, s"segment path diverged: seg=${seg.size} brute=${brute.size}")
+    assert(bkt == brute, s"bucket path diverged: bkt=${bkt.size} brute=${brute.size}")
+    assert(brute.exists(_._3 == 8), "boundary distance must be exercised")
+    assert(seg.exists(p => p._1 == 900L && p._2 == 901L),
+      "short strings pair within K")
+  }
+
+  test("segment blocking kills char-stat-clone crowds that defeat count bucketing") {
+    import spark.implicits._
+    // 40 docs with IDENTICAL length and per-char counts (permutations of
+    // one bag of chars) but thoroughly different content — the GenScale
+    // cross-copy shape that sent q62 super-linear at sf1 — plus one
+    // planted near pair
+    val rnd = new scala.util.Random(11)
+    val bag = ("abcdefgh" * 8).toSeq
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, rnd.shuffle(bag).mkString)
+    } ++ Seq((100L, "m" * 60 + "n" * 4), (101L, "m" * 60 + "n" * 3 + "o")))
+      .toDF("doc_id", "text")
+    def cands(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.observedMetrics("fuzzy_candidates").getLong(0)
+    }
+    val segDf = operators.FuzzyJoin.levenshteinPairsSegment(docs, maxDistance = 4)
+    val bktDf = operators.FuzzyJoin.levenshteinPairs(docs, maxDistance = 4, bucketWidth = 5)
+    val (segC, bktC) = (cands(segDf), cands(bktDf))
+    // count bucketing must enumerate the whole clone crowd (~40²/2);
+    // content blocking sees only genuinely-shared segments
+    assert(bktC > 500, s"crowd fixture too weak to discriminate: bucket cands=$bktC")
+    assert(segC < bktC / 10, s"segment blocking did not kill the crowd: $segC vs $bktC")
+    assert(segDf.select("d1", "d2").as[(Long, Long)].collect().toSet
+      .contains((100L, 101L)), "planted near pair lost")
+  }
+
   test("bucketWidth <= maxDistance is rejected (would lose pairs)") {
     import spark.implicits._
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
