@@ -118,6 +118,30 @@ object Multimodal {
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
+  /** The JDK's WAVE codec provider, resolved ONCE per JVM. Going
+    * through `AudioSystem.getAudioInputStream`/`write` re-runs a
+    * synchronized service-provider scan on EVERY call, which serializes
+    * a many-core local executor (measured on `local[32]`: the sf1 WAV
+    * bench ran FASTER with 4 threads than 32). The spi interfaces are
+    * public `javax.sound.sampled` API; per-executor JVMs on a real
+    * cluster each resolve once. Reader/writer instances are stateless
+    * and thread-safe. */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala
+      .find(_.getClass.getName.toLowerCase.contains("wave"))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader in this JDK"))
+  }
+
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.getClass.getName.toLowerCase.contains("wave"))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter in this JDK"))
+  }
+
   /** Decoded-audio stats: format fields + integer-exact sample sums. */
   final case class WavSamples(
       doc_id: Long,
@@ -135,7 +159,7 @@ object Multimodal {
     * PCM encode/decode is lossless, hence the sums equal what the
     * generation formula predicts. */
   def decodeWavStats(r: MediaRecord): WavSamples = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    val ais = wavReader.getAudioInputStream(
       new java.io.ByteArrayInputStream(r.payload))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
@@ -174,8 +198,7 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
