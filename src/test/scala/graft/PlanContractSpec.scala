@@ -34,8 +34,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q28_dedup_simhash", "q29_ann_brute", "q35_corpus_pipeline",
     "q41_salted_agg", "q42_tpch_q3", "q43_tpch_q5", "q50_bucketed_join",
     "q53_stratified_mix", "q59_doc_chunks", "q60_batch_sessions",
-    "q63_tpch_q7", "q64_tpch_q18", "q66_upsert", "q70_pii_redact",
-    "q77_dpp_join")
+    "q62_fuzzy_join", "q63_tpch_q7", "q64_tpch_q18", "q66_upsert",
+    "q70_pii_redact", "q77_dpp_join")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
