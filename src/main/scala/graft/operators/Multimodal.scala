@@ -415,6 +415,86 @@ object Multimodal {
       |  CAST(SUM(lum) AS BIGINT) AS lum_sum
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** Decoded-video stats: container fields + exact sums over the
+    * SAMPLED (every 3rd) frames, each frame really decoded. */
+  final case class VideoFrames(
+      doc_id: Long,
+      n_frames: Int,
+      n_sampled: Int,
+      width: Int,
+      height: Int,
+      lum_sum: Long)
+
+  /** Frame-packed video container — "motion PNG": magic "GFV1", then a
+    * frame count, then length-prefixed REAL PNG frames (all big-endian
+    * ints). Parsing the container and decoding the frames is genuine
+    * executor work through the JDK image codec; only INTER-frame codecs
+    * (H.264 etc.) remain out of scope — no such codec ships in the JDK,
+    * and that boundary is the documented stub. */
+  def encodeVideo(docId: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GFV1")
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      // frame f of doc d reuses the pixel formula keyed by (d·1000 + f),
+      // so the oracle can replay any sampled frame independently
+      val png = encodePng(docId * 1000 + f, w, h)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** REAL video pipeline work: parse the container, decode every 3rd
+    * frame (the q34_media_resize sampling policy) through
+    * `javax.imageio`, and sum the decoded r+g+b values — integer-exact,
+    * so the whole parse→seek→decode path is oracle-checkable. Frames
+    * NOT sampled are skipped without decoding (the seek discipline a
+    * real frame sampler needs). */
+  def decodeVideoStats(r: MediaRecord): VideoFrames = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(r.payload))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    require(new String(magic, "US-ASCII") == "GFV1",
+      s"not a GFV1 container for doc ${r.doc_id}")
+    val nFrames = in.readInt()
+    var f = 0
+    var sampled = 0
+    var lum = 0L
+    var (w, h) = (0, 0)
+    while (f < nFrames) {
+      val len = in.readInt()
+      if (f % 3 == 0) {
+        val png = new Array[Byte](len)
+        in.readFully(png)
+        val px = decodeImageStats(MediaRecord(r.doc_id, png, "image", 0, 0))
+        w = px.width; h = px.height
+        lum += px.lum_sum
+        sampled += 1
+      } else in.skipBytes(len)
+      f += 1
+    }
+    VideoFrames(r.doc_id, nFrames, sampled, w, h, lum)
+  }
+
+  /** Video table with REAL frame-packed payloads, one clip per
+    * doc_id ≡ 2 mod 3 (the rows `mediaTable` types as "video");
+    * 3–8 frames of 8×6 px keep fixture costs bounded. */
+  def videoTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .where(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        (lit(3) + col("doc_id") % 6).cast("int").as("nf"))
+      .as[(Long, Int)]
+      .map { case (id, nf) =>
+        MediaRecord(id, encodeVideo(id, nf, 8, 6), "video", 8, 6) }
+  }
+
   /** q34_wav_decode: encode each audio row as a REAL WAV, decode it back
     * with `javax.sound.sampled` on the executors, emit the decoded
     * format fields and exact sample sums. The oracle replays the
@@ -445,10 +525,47 @@ object Multimodal {
       |  CAST(SUM(amp * amp) AS BIGINT) AS amp_sq_sum
       |FROM a GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  /** q34_video_frames: pack each video row as a REAL frame container,
+    * parse + frame-sample + decode it back on the executors (every 3rd
+    * frame through the actual JDK PNG codec, others seeked past). The
+    * oracle replays the per-frame pixel formula for exactly the sampled
+    * frames — a wrong sampling policy, a mis-seek, or a decode defect
+    * all break the match. */
+  private def q34video(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, dir)
+      .mapPartitions(_.map(decodeVideoStats))
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  private val q34videoSql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS f FROM d),
+      |sf AS (
+      |  SELECT doc_id, nf, doc_id * 1000 + f AS k FROM fr WHERE f % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, nf, k, unnest(generate_series(0, 47)) AS i FROM sf),
+      |lum AS (
+      |  SELECT doc_id, nf,
+      |    (k * 7 + (i % 8) * 3 + (i // 8) * 5) % 256
+      |    + (k * 11 + (i % 8) * 13 + (i // 8) * 2) % 256
+      |    + (k * 3 + (i % 8) + (i // 8) * 17) % 256 AS l
+      |  FROM px)
+      |SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+      |  CAST((MAX(nf) + 2) // 3 AS INT) AS n_sampled,
+      |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  CAST(SUM(l) AS BIGINT) AS lum_sum
+      |FROM lum GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_media_meta", q34meta, Some(q34metaSql)),
     QueryDef("q34_media_decode", q34decode, Some(q34decodeSql)),
     QueryDef("q34_media_resize", q34resize, Some(q34resizeSql)),
     QueryDef("q34_png_decode", q34png, Some(q34pngSql)),
-    QueryDef("q34_wav_decode", q34wav, Some(q34wavSql)))
+    QueryDef("q34_wav_decode", q34wav, Some(q34wavSql)),
+    QueryDef("q34_video_frames", q34video, Some(q34videoSql)))
 }

@@ -164,6 +164,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.n_frames == "hello".length / 64 + 1)
   }
 
+  test("video container round-trips: parse + frame-sample + real PNG decode per frame") {
+    val (id, nf, w, h) = (44L, 7, 8, 6)
+    val video = Multimodal.encodeVideo(id, nf, w, h)
+    assert(video.take(4).map(_.toChar).mkString == "GFV1")
+    val stats = Multimodal.decodeVideoStats(
+      Multimodal.MediaRecord(id, video, "video", w, h))
+    // sampled frames 0, 3, 6 — recompute their lum sums from the formula
+    var expected = 0L
+    for (f <- Seq(0, 3, 6); y <- 0 until h; x <- 0 until w) {
+      val k = id * 1000 + f
+      expected += ((k * 7 + x * 3 + y * 5) % 256) +
+        ((k * 11 + x * 13 + y * 2) % 256) + ((k * 3 + x + y * 17) % 256)
+    }
+    assert(stats.n_frames == nf && stats.n_sampled == 3)
+    assert(stats.width == w && stats.height == h)
+    assert(stats.lum_sum == expected)
+  }
+
+  test("q34_video_frames distributed pipeline matches driver-side decode") {
+    val out = SparkEntry.queries("q34_video_frames")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.take(5).foreach { row =>
+      val id = row.getLong(0)
+      val nf = (3 + id % 6).toInt
+      val stats = Multimodal.decodeVideoStats(
+        Multimodal.MediaRecord(id, Multimodal.encodeVideo(id, nf, 8, 6), "video", 8, 6))
+      assert(row.getInt(1) == stats.n_frames && row.getInt(2) == stats.n_sampled
+        && row.getLong(5) == stats.lum_sum, s"doc $id mismatch")
+    }
+  }
+
   test("q34_wav_decode distributed pipeline matches driver-side decode") {
     val out = SparkEntry.queries("q34_wav_decode")(spark, sf).collect()
     assert(out.nonEmpty)
