@@ -23,19 +23,38 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanContractSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  /** The contracted queries: every batch operator whose doc-comment
-    * makes a plan-shape claim (zero-exchange, map-only, broadcast side,
-    * salting, DPP) plus the TPC-H join pipelines. Streaming queries are
-    * excluded (their micro-batch plans are asserted in StreamingSpec). */
+  /** The contracted queries: every batch operator in the registry.
+    * Excluded: streaming queries (q24/q25/q36/q49/q51/q75 — their
+    * micro-batch plans are asserted in StreamingSpec) and the write-sink
+    * queries (q02 sinks, q44, q48, q65, q76, q79 — the returned DataFrame is a
+    * post-hoc summary read whose shape says nothing about the write;
+    * their layout claims are asserted in their own specs). */
   private val Contracted: Seq[String] = Seq(
-    "q01_scan_filter", "q06_groupby_count", "q07_tpch_q1",
-    "q12_join_sortmerge", "q13_join_broadcast", "q15_join_semi_anti",
-    "q16_join_skew", "q20_topk", "q26_dedup_exact", "q27_dedup_minhash",
-    "q28_dedup_simhash", "q29_ann_brute", "q35_corpus_pipeline",
-    "q41_salted_agg", "q42_tpch_q3", "q43_tpch_q5", "q50_bucketed_join",
-    "q53_stratified_mix", "q59_doc_chunks", "q60_batch_sessions",
+    "q01_scan_filter", "q03_repartition_hash", "q04_repartition_rr",
+    "q05_orderby_range", "q06_groupby_count", "q07_tpch_q1",
+    "q08_combine_avg", "q09_distinct_agg", "q10_rollup",
+    "q11_approx_distinct", "q12_join_sortmerge", "q13_join_broadcast",
+    "q14_join_outer", "q15_join_semi_anti", "q16_join_skew",
+    "q17_join_theta", "q18_window_rank", "q19_window_frame", "q20_topk",
+    "q21_setops", "q22_scalar_funcs", "q23_array_funcs", "q23_json_funcs",
+    "q26_dedup_exact", "q27_dedup_minhash", "q27_dedup_ngram",
+    "q28_dedup_simhash", "q28_dedup_embed", "q29_ann_brute",
+    "q29_ann_lsh", "q29_ann_ivf", "q29_lsh_cands", "q29_ivf_cands",
+    "q29_token_counts", "q29_token_regex", "q30_udf_udaf",
+    "q31_text_stats", "q32_lang_id", "q33_fingerprint",
+    "q34_media_meta", "q34_media_decode", "q34_media_resize",
+    "q34_png_decode", "q34_wav_decode", "q34_video_frames",
+    "q35_corpus_pipeline", "q37_interval_join", "q38_asof_join",
+    "q39_percentiles", "q40_pivot", "q41_salted_agg", "q42_tpch_q3",
+    "q43_tpch_q5", "q45_window_funcs", "q46_json_struct",
+    "q47_subqueries", "q50_bucketed_join", "q52_contamination",
+    "q53_stratified_mix", "q54_schema_evolution", "q55_dedup_clusters",
+    "q56_seq_packing", "q57_bm25", "q58_quality_filter",
+    "q59_doc_chunks", "q60_batch_sessions", "q61_label_centroids",
     "q62_fuzzy_join", "q63_tpch_q7", "q64_tpch_q18", "q66_upsert",
-    "q70_pii_redact", "q77_dpp_join")
+    "q67_tfidf_keywords", "q68_funnel", "q69_retention",
+    "q70_pii_redact", "q71_repetition_collapse", "q72_unigram_nll",
+    "q73_bpe_pairs", "q74_pagerank", "q77_dpp_join", "q78_table_diff")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
