@@ -62,6 +62,54 @@ object Pruning {
        |FROM orders JOIN dim ON year(o_orderdate) = dim.o_year
        |GROUP BY 1 ORDER BY o_year ASC NULLS LAST""".stripMargin
 
+  /** q80 runtime Bloom-filter join (Catalyst's InjectRuntimeFilter):
+    * the ROW-level sibling of q77's partition-level DPP. The selective
+    * dim side (urgent orders) builds a `bloom_filter_agg` at execution
+    * time and the fact side applies `might_contain(l_orderkey)` BEFORE
+    * its shuffle, so non-qualifying lineitem rows never enter the
+    * exchange. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~20% a selective dim actually
+    * joins — semantics unchanged (the filter only drops rows the join
+    * would drop), which is why the plain-join oracle still matches.
+    *
+    * The injection rule is size-threshold-driven
+    * (`applicationSideScanSizeThreshold` defaults to 10 GB — correct
+    * for production, unreachable at test SF), so the demo pins the
+    * thresholds on a CLONED session: `newSession()` shares the
+    * SparkContext and builder confs but takes runtime conf changes in
+    * isolation, so no other query's contracted plan shape can be
+    * perturbed. The `merge` hint keeps the join a shuffle join — on a
+    * broadcast join the filter would be redundant with the build-side
+    * hash table. `might_contain` presence is plan-asserted in
+    * PruningSpec, with a filtered-vs-unfiltered differential. */
+  private[graft] def q80(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    // InjectRuntimeFilter only fires on a PROBABLY-shuffle join: at test
+    // SF the filtered dim is broadcast-able by size, which vetoes the
+    // rule (canBroadcastBySize), so broadcast is disabled here — exactly
+    // the 100 TB condition the demo models, where neither side fits
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = Tables.t(s, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val l = Tables.t(s, dir, "lineitem")
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Canon.dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+  }
+
+  private val q80Sql =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+       |  ${Canon.sqlDsum("l_extendedprice", 2)} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY l_returnflag ORDER BY l_returnflag ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q77_dpp_join", q77, Some(q77Sql)))
+    QueryDef("q77_dpp_join", q77, Some(q77Sql)),
+    QueryDef("q80_bloom_join", q80, Some(q80Sql)))
 }

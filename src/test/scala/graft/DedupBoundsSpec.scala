@@ -210,4 +210,42 @@ class DedupBoundsSpec extends AnyFunSuite {
     assert(unsalted.size == 80 * 79 / 2)
     assert(salted == unsalted)
   }
+
+  test("q81 CDC segmentation is lossless: chunks reassemble each doc") {
+    val docs = Tables.t(spark, sf, "documents").limit(50).cache()
+    // losslessness witness: chunks are consecutive substrings of text by
+    // construction, so per-doc chunk chars == doc chars => exact cover
+    val bad = docs
+      .select(col("doc_id"), col("text"))
+      .join(graft.operators.Dedup.cdcChunks(docs)
+        .groupBy("doc_id").agg(sum(length(col("chunk"))).as("chunk_chars")),
+        Seq("doc_id"))
+      .where(col("chunk_chars") =!= length(col("text"))).count()
+    assert(bad === 0)
+  }
+
+  test("q81 CDC catches the same span duplicated at DIFFERENT offsets") {
+    import SparkTestSession.spark.implicits._
+    // chosen so the rolling hash yields several INTERIOR cut points
+    // (a span with no interior boundary has no shareable chunk — ~8% of
+    // short phrases; this one cuts at +28,+64,+84,... verified offline)
+    val span = "kilo echo mike bravo charlie romeo delta lima sierra bravo " +
+      "quebec golf bravo charlie november november charlie hotel charlie " +
+      "romeo november bravo sierra delta hotel sierra bravo sierra sierra " +
+      "mike bravo hotel bravo romeo echo juliet november echo romeo delta"
+    val docs = Seq(
+      (1L, "AAA" + span + "BBBBBBBBBBBBBBBBBBBB"),
+      (2L, "CCCCCCCCCCCCCCCCCCCCCCCCCCCCC" + span + "DD"),
+      (3L, "totally unrelated filler content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val chunks = graft.operators.Dedup.cdcChunks(docs)
+    val shared = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+      .join(chunks, "chunk").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    // content-defined cut points realign inside the span regardless of
+    // prefix length, so docs 1+2 share interior chunks; doc 3 never does
+    assert(shared === Set(1L, 2L),
+      s"expected docs 1,2 to share CDC chunks, got $shared")
+  }
 }

@@ -54,7 +54,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q62_fuzzy_join", "q63_tpch_q7", "q64_tpch_q18", "q66_upsert",
     "q67_tfidf_keywords", "q68_funnel", "q69_retention",
     "q70_pii_redact", "q71_repetition_collapse", "q72_unigram_nll",
-    "q73_bpe_pairs", "q74_pagerank", "q77_dpp_join", "q78_table_diff")
+    "q73_bpe_pairs", "q74_pagerank", "q77_dpp_join", "q78_table_diff",
+    "q80_bloom_join", "q81_cdc_dedup")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
@@ -73,9 +74,11 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   private final case class Shape(shuffles: Int, broadcasts: Int, reuses: Int,
-      smj: Int, bhj: Int, bnlj: Int, codegen: Int, dpp: Boolean) {
+      smj: Int, bhj: Int, bnlj: Int, codegen: Int, dpp: Boolean,
+      bloom: Boolean) {
     def render: String = s"shuffles=$shuffles broadcasts=$broadcasts " +
-      s"reuses=$reuses smj=$smj bhj=$bhj bnlj=$bnlj codegen=$codegen dpp=$dpp"
+      s"reuses=$reuses smj=$smj bhj=$bhj bnlj=$bnlj codegen=$codegen " +
+      s"dpp=$dpp bloom=$bloom"
   }
 
   private def shapeOf(df: DataFrame): Shape = {
@@ -98,7 +101,8 @@ class PlanContractSpec extends AnyFunSuite {
       bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       codegen = "\\[codegen id : (\\d+)\\]".r
         .findAllMatchIn(formatted).map(_.group(1)).toSet.size,
-      dpp = formatted.contains("dynamicpruning"))
+      dpp = formatted.contains("dynamicpruning"),
+      bloom = formatted.contains("might_contain"))
   }
 
   private lazy val observed: Map[String, Shape] =

@@ -40,6 +40,37 @@ class PruningSpec extends AnyFunSuite {
     assert(got === plain)
   }
 
+  test("q80 fact side applies a runtime bloom filter before its shuffle") {
+    val df = Pruning.q80(spark, sf)
+    df.collect()
+    val formatted = Metrics.executedPlanString(df.queryExecution)
+    assert(formatted.contains("might_contain"),
+      s"no runtime bloom filter injected:\n$formatted")
+    assert(formatted.contains("bloom_filter_agg"),
+      s"no bloom_filter_agg build side:\n$formatted")
+  }
+
+  test("q80 result matches the plain join (bloom filter drops no survivor)") {
+    val got = Pruning.q80(spark, sf).collect().map(_.toSeq).toSeq
+    val plain = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "orders")
+        .where(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Canon.dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_last)
+      .collect().map(_.toSeq).toSeq
+    assert(got === plain)
+  }
+
+  test("q80's cloned-session confs do not leak into the shared session") {
+    Pruning.q80(spark, sf).collect()
+    assert(spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .forall(_ != "0"))
+  }
+
   test("tableDiff classifies added/removed/changed and drops unchanged") {
     val base = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
       (4L, null.asInstanceOf[String], "w")).toDF("id", "t", "u")
