@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSimilarity, DotProduct}
+import graft.plans.{CdcCuts, CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Attach with
@@ -30,7 +30,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (new FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+      (children: Seq[Expression]) => CdcCuts(children(0))))
 }
 
 /** Runtime registration for sessions the engine does not construct. */

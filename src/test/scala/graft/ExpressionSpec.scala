@@ -97,6 +97,47 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_cuts rolling hash equals the declarative per-window recompute") {
+    // whole corpus + hand-made edges: short (< W), exactly W, empty-adjacent
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+      .union(spark.createDataFrame(Seq(
+        (9001L, "ab"), (9002L, "exactly8"), (9003L, "ninechars"),
+        (9004L, "x" * 500))).toDF("doc_id", "text"))
+    val native = graft.operators.Dedup.cdcChunks(docs)
+      .groupBy("doc_id").agg(sort_array(collect_list("chunk")).as("c"))
+    val decl = graft.operators.Dedup.cdcChunksDeclarative(docs)
+      .groupBy("doc_id").agg(sort_array(collect_list("chunk")).as("c"))
+    assert(native.join(decl, Seq("doc_id"))
+      .where(native("c") =!= decl("c")).count() === 0)
+    assert(native.count() === decl.count())
+  }
+
+  test("cdc_cuts uses code points (DuckDB ord parity) and stays in codegen") {
+    Graft.register(spark)
+    // 'é' = U+00E9 (233): boundary iff the chain value matches ord(),
+    // not the UTF-8 lead byte 0xC3 the declarative ascii() form would
+    // see on some engines — pin the unit explicitly
+    val got = spark.sql("SELECT cdc_cuts('aaaaaaaébbbbbbb')").collect()(0)
+      .getSeq[Int](0)
+    val expect = {
+      val s = "aaaaaaaébbbbbbb"
+      val cps = s.codePoints().toArray
+      (graft.plans.CdcCuts.W to cps.length).filter { p =>
+        var h = 0L
+        for (i <- (p - graft.plans.CdcCuts.W) until p)
+          h = (h * graft.plans.CdcCuts.B + cps(i)) % graft.plans.CdcCuts.P
+        h % graft.plans.CdcCuts.D == 0
+      }
+    }
+    assert(got === expect)
+    // a literal argument constant-folds (interpreted eval path); the
+    // codegen claim needs a real scan under the projection
+    Tables.t(spark, sf, "documents").limit(5).createOrReplaceTempView("docs_cg")
+    val plan = spark.sql("SELECT cdc_cuts(text) FROM docs_cg")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cdc_cuts"), s"no codegen span:\n$plan")
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     Graft.register(spark)
     val e = Tables.t(spark, sf, "embeddings").limit(10)
