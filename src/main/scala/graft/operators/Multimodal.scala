@@ -57,6 +57,37 @@ object Multimodal {
     bytes.length >= 4 && bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
       bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
 
+  /** The JDK's PNG reader/writer SPIs, resolved ONCE per JVM — the
+    * image-side twin of [[wavReader]]: `ImageIO.read` re-scans the
+    * IIORegistry per call AND spools every stream through a disk-backed
+    * `FileCacheImageInputStream` by default, so a many-core executor
+    * pays a provider scan plus temp-file churn per record. The SPIs are
+    * thread-safe; reader/writer INSTANCES are not, so one is created
+    * per call (cheap) over a memory-cached stream. */
+  private lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+    var found: javax.imageio.spi.ImageReaderSpi = null
+    while (found == null && it.hasNext) {
+      val spi = it.next()
+      if (spi.getFormatNames.exists(_.equalsIgnoreCase("png"))) found = spi
+    }
+    require(found != null, "no PNG ImageReader SPI in this JVM")
+    found
+  }
+
+  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+    var found: javax.imageio.spi.ImageWriterSpi = null
+    while (found == null && it.hasNext) {
+      val spi = it.next()
+      if (spi.getFormatNames.exists(_.equalsIgnoreCase("png"))) found = spi
+    }
+    require(found != null, "no PNG ImageWriter SPI in this JVM")
+    found
+  }
+
   /** REAL image decoder — `javax.imageio` ships in every JDK, so PNG
     * payloads are genuinely decoded on the executor (no external media
     * library needed). Returns (decoded width, decoded height, sum of
@@ -64,8 +95,13 @@ object Multimodal {
     * oracle-checkable: encode and decode are lossless, hence the pixel
     * sums equal what the generation formula predicts. */
   def decodeImageStats(r: MediaRecord): ImagePixels = {
-    val img = javax.imageio.ImageIO.read(
+    val reader = pngReaderSpi.createReaderInstance()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(r.payload))
+    val img = try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally { reader.dispose(); iis.close() }
     require(img != null, s"undecodable image payload for doc ${r.doc_id}")
     val (w, h) = (img.getWidth, img.getHeight)
     var lum = 0L
@@ -246,7 +282,12 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val writer = pngWriterSpi.createWriterInstance()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 
