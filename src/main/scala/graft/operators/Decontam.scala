@@ -129,7 +129,62 @@ object Decontam {
       |FROM ranked WHERE rk <= 50
       |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin
 
+  // ---- q82: train/val split with a near-dup leakage guard ---------------
+
+  /** Deterministic split of a doc id: md5-derived 80/20 — a pure
+    * function of the id, so it is computed MAP-SIDE wherever the id
+    * appears (never joined in), and any later run or engine reproduces
+    * the same assignment. */
+  private def splitSql(idCol: String): String =
+    s"CASE WHEN cast(conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10) " +
+      s"as bigint) % 10 < 8 THEN 'train' ELSE 'val' END"
+
+  /** PUBLIC API — train/val split leakage guard: assign every doc to
+    * train (80%) or val (20%) by a deterministic md5 hash of its id,
+    * then quarantine the val docs that have a SimHash near-duplicate
+    * (hamming ≤ 8) on the other side of the split — the split-internal
+    * twin of q52's external-benchmark decontamination: a val doc whose
+    * near-copy sits in train measures memorization, not generalization.
+    * Output: one row per leaking val doc with its train-partner count
+    * and closest hamming distance.
+    *
+    * Scale: the pair stream comes from [[Dedup.simhashPairs]] (banded,
+    * bounded buckets — no all-pairs); the split is a pure function of
+    * doc_id evaluated map-side ON the pair rows, so no corpus-sized
+    * side table is ever joined or broadcast; the final agg is keyed by
+    * the (sparse) leaking-doc set. */
+  def splitLeakage(docs: DataFrame): DataFrame =
+    Dedup.simhashPairs(docs)
+      .withColumn("s1", expr(splitSql("d1")))
+      .withColumn("s2", expr(splitSql("d2")))
+      .where(col("s1") =!= col("s2"))
+      .select(when(col("s1") === "val", col("d1")).otherwise(col("d2")).as("doc_id"),
+        col("hamming"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_train_partners"),
+        min(col("hamming")).cast("long").as("min_hamming"))
+      .orderBy(col("doc_id").asc_nulls_last)
+
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.t(s, dir, "documents"))
+
+  private def duckSplitSql(idCol: String): String =
+    s"CASE WHEN ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT " +
+      s"% 10 < 8 THEN 'train' ELSE 'val' END"
+
+  private val q82Sql =
+    s"""WITH ${Dedup.simhashPairsCte},
+       |leak AS (
+       |  SELECT CASE WHEN ${duckSplitSql("d1")} = 'val' THEN d1 ELSE d2 END AS doc_id,
+       |    hamming
+       |  FROM pairs
+       |  WHERE ${duckSplitSql("d1")} <> ${duckSplitSql("d2")})
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_train_partners,
+       |  CAST(MIN(hamming) AS BIGINT) AS min_hamming
+       |FROM leak GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q52_contamination", q52, Some(q52Sql)),
-    QueryDef("q53_stratified_mix", q53, Some(q53Sql)))
+    QueryDef("q53_stratified_mix", q53, Some(q53Sql)),
+    QueryDef("q82_split_leakage", q82, Some(q82Sql)))
 }
