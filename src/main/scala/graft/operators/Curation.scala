@@ -163,9 +163,102 @@ object Curation {
       |SELECT pair, COUNT(*)::BIGINT AS c FROM pairs GROUP BY pair
       |ORDER BY c DESC NULLS LAST, pair ASC NULLS LAST LIMIT 50""".stripMargin
 
+  // ---- q83: BPE-style subword encode with the mined merge table ---------
+
+  /** PUBLIC API — BPE-style subword ENCODE: mine the top-k adjacent
+    * CHARACTER pairs (weighted by word frequency — the char-level twin
+    * of [[bpePairCounts]]), then apply them as a rank-ordered merge
+    * table to every distinct word and return the top-k resulting
+    * subword tokens by corpus frequency.
+    *
+    * Merge semantics (deterministic, both-engine-replayable): each
+    * merge is applied ONCE in rank order, leftmost-first and
+    * non-overlapping — the single-pass approximation of Sennrich
+    * iterate-lowest-rank (they differ only when a later merge recreates
+    * an earlier merge's pattern). The token state is a
+    * double-separator string (`US tok US US tok US`): each replace
+    * consumes one separator from each boundary, so adjacent merge sites
+    * stay independently matchable — plain left-to-right `replace`
+    * is then EXACTLY leftmost non-overlapping pair merging, identical
+    * in Spark, DuckDB, and java.lang.String.
+    *
+    * Scale: everything downstream of the word-frequency aggregate runs
+    * on DISTINCT WORDS (vocabulary-sized, Zipf-bounded), not corpus
+    * tokens — encode once per word, weight by count. The merge table is
+    * one broadcast single-row array (the q72 vocabulary pattern); no
+    * driver collect, no UDF: the fold is the `aggregate` HOF over 50
+    * `replace` calls. */
+  def bpeEncode(docs: DataFrame, k: Int = 50): DataFrame = {
+    val wf = docs.where(length(col("text")) > 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pc = wf
+      .select(col("wc"), explode(expr(
+        """CASE WHEN length(w) < 2 THEN array() ELSE
+          |  transform(sequence(1, length(w) - 1),
+          |    i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1))) END""".stripMargin))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("c"))
+      .orderBy(col("c").desc_nulls_last, col("pair").asc_nulls_last)
+      .limit(k)
+    // rank-ordered merge list as ONE array row (sort_array on (-count,
+    // pair) structs — collect_list alone has no order guarantee)
+    val merges = pc
+      .agg(sort_array(collect_list(struct((-col("c")).as("negc"),
+        col("pair").as("pair")))).as("sm"))
+      .select(expr("transform(sm, x -> x.pair)").as("ms"))
+    val enc = wf.crossJoin(broadcast(merges))
+      .withColumn("state", expr(
+        """aggregate(ms,
+          |  concat(char(31), array_join(transform(sequence(1, length(w)),
+          |    i -> substring(w, i, 1)), concat(char(31), char(31))), char(31)),
+          |  (acc, m) -> replace(acc,
+          |    concat(char(31), element_at(split(m, ' '), 1), char(31),
+          |      char(31), element_at(split(m, ' '), 2), char(31)),
+          |    concat(char(31), element_at(split(m, ' '), 1),
+          |      element_at(split(m, ' '), 2), char(31))))""".stripMargin))
+    enc
+      .select(col("wc"),
+        explode(split(expr("trim(BOTH char(31) FROM state)"), "\u001f\u001f")).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("wc")).as("c"))
+      .orderBy(col("c").desc_nulls_last, col("tok").asc_nulls_last)
+      .limit(k)
+  }
+
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.t(s, dir, "documents"))
+
+  private val q83Sql =
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE length(text) > 0),
+      |wf AS (SELECT w, COUNT(*) AS wc FROM words WHERE length(w) >= 1 GROUP BY w),
+      |cpairs AS (
+      |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, length(w))]) AS pair, wc
+      |  FROM wf),
+      |pc AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS c FROM cpairs GROUP BY pair),
+      |merges AS (
+      |  SELECT list(pair ORDER BY c DESC, pair ASC) AS ms
+      |  FROM (SELECT pair, c FROM pc ORDER BY c DESC NULLS LAST, pair ASC NULLS LAST LIMIT 50)),
+      |enc AS (
+      |  SELECT wf.w, wf.wc,
+      |    list_reduce(
+      |      [chr(31) || array_to_string([w[i] for i in range(1, length(w) + 1)], chr(31) || chr(31)) || chr(31)] || ms,
+      |      (acc, m) -> replace(acc,
+      |        chr(31) || split_part(m, ' ', 1) || chr(31) || chr(31) || split_part(m, ' ', 2) || chr(31),
+      |        chr(31) || split_part(m, ' ', 1) || split_part(m, ' ', 2) || chr(31))) AS state
+      |  FROM wf, merges),
+      |toks AS (
+      |  SELECT unnest(string_split(trim(state, chr(31)), chr(31) || chr(31))) AS tok, wc
+      |  FROM enc)
+      |SELECT tok, CAST(SUM(wc) AS BIGINT) AS c
+      |FROM toks GROUP BY tok
+      |ORDER BY c DESC NULLS LAST, tok ASC NULLS LAST LIMIT 50""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q70_pii_redact", q70, Some(q70Sql)),
     QueryDef("q71_repetition_collapse", q71, Some(q71Sql)),
     QueryDef("q72_unigram_nll", q72, Some(q72Sql)),
-    QueryDef("q73_bpe_pairs", q73, Some(q73Sql)))
+    QueryDef("q73_bpe_pairs", q73, Some(q73Sql)),
+    QueryDef("q83_bpe_encode", q83, Some(q83Sql)))
 }
