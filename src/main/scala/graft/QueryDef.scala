@@ -38,6 +38,7 @@ object Registry {
       operators.Graphs.defs ++
       operators.Funnel.defs ++
       operators.Decontam.defs ++
+      operators.Mixing.defs ++
       operators.Evolution.defs ++
       operators.Export.defs ++
       operators.Packing.defs ++

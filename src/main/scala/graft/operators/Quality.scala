@@ -66,6 +66,43 @@ object Quality {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
+  /** PUBLIC API — fastText-style hashed linear quality scorer (Joulin
+    * et al. 2017 "Bag of Tricks for Efficient Text Classification"):
+    * unigram + bigram features hashed into weight buckets, scored by a
+    * linear model, mean-pooled per document. The inference shape of the
+    * learned quality classifiers pipelines run corpus-wide (e.g. the
+    * CCNet / GPT-3 quality filters) — the expensive part at 100 TB is
+    * exactly this pass, so its plan must be MAP-ONLY: features never
+    * explode into rows; both feature sums fold per-row inside
+    * whole-stage codegen via `aggregate` higher-order functions, and the
+    * only exchange is the output ordering.
+    *
+    * The weight table is a pure function of the feature hash
+    * (md5 → bucket → integer weight in [-500, 500]), standing in for a
+    * trained model's weights: a REAL model would broadcast a
+    * |buckets|-sized int array and index it in the same fold — the plan
+    * is identical, only the lookup differs. Integer raw sums → the
+    * oracle replays bit-exactly; the one float op (mean) is a single
+    * IEEE division. */
+  def hashedQualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val wExpr = (c: String) =>
+      s"aggregate($c, 0L, (a, x) -> " +
+        "a + ((cast(conv(substr(md5(x), 1, 6), 16, 10) as bigint) % 1001) - 500))"
+    docs.withColumn("s", split(col(textCol), " "))
+      .withColumn("bg",
+        when(size(col("s")) < 2, array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(s) - 1)," +
+              " i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")))
+      .select(
+        col("doc_id"),
+        (size(col("s")) + size(col("bg"))).cast("long").as("n_feats"),
+        (expr(wExpr("s")) + expr(wExpr("bg"))).as("raw_score"))
+      .withColumn("score", col("raw_score").cast("double") / col("n_feats"))
+      .withColumn("pass", col("score") > 0.0)
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
   private def q58(s: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.t(s, dir, "documents"))
 
@@ -92,6 +129,27 @@ object Quality {
       |FROM m JOIN tt ON m.doc_id = tt.doc_id
       |ORDER BY m.doc_id ASC NULLS LAST""".stripMargin
 
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    hashedQualityScore(Tables.t(s, dir, "documents"))
+
+  private val q85Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |b AS (SELECT doc_id, s,
+      |  [s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))] AS bg FROM d),
+      |m AS (SELECT doc_id,
+      |  CAST(len(s) + len(bg) AS BIGINT) AS n_feats,
+      |  CAST(COALESCE(list_sum(list_transform(s,
+      |      x -> ('0x' || substr(md5(x), 1, 6))::BIGINT % 1001 - 500)), 0)
+      |    + COALESCE(list_sum(list_transform(bg,
+      |      x -> ('0x' || substr(md5(x), 1, 6))::BIGINT % 1001 - 500)), 0)
+      |    AS BIGINT) AS raw_score
+      |FROM b)
+      |SELECT doc_id, n_feats, raw_score,
+      |  CAST(raw_score AS DOUBLE) / n_feats AS score,
+      |  (CAST(raw_score AS DOUBLE) / n_feats > 0.0) AS pass
+      |FROM m ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q58_quality_filter", q58, Some(q58Sql)))
+    QueryDef("q58_quality_filter", q58, Some(q58Sql)),
+    QueryDef("q85_quality_score", q85, Some(q85Sql)))
 }

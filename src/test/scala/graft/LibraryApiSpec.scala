@@ -117,6 +117,29 @@ class LibraryApiSpec extends AnyFunSuite {
     assert(none == 0L, "rate 0 must keep nothing")
   }
 
+  test("temperatureMix upsamples rare sources and respects the budget") {
+    import graft.operators.Mixing
+    import spark.implicits._
+    // 200 docs from a dominant source, 10 from a rare one
+    val docs = ((1 to 200).map(i => (i.toLong, "big", s"tok$i words here")) ++
+      (201 to 210).map(i => (i.toLong, "small", s"tok$i words here")))
+      .toDF("doc_id", "source", "text")
+    val out = Mixing.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nBig, thrBig, keptBig) = out("big")
+    val (nSmall, thrSmall, keptSmall) = out("small")
+    assert(nBig == 200L && nSmall == 10L)
+    // α=0.5 gives the rare source rate ∝ n^-0.5: B*p_small/n_small =
+    // 105*0.183/10 ≈ 1.9 — capped at 1.0, so ALL small docs survive
+    assert(thrSmall == 1000000L && keptSmall == 10L,
+      s"rare source must be fully kept: $out")
+    // dominant source is downsampled below its share
+    assert(thrBig < 1000000L && keptBig < 200L,
+      s"dominant source must be subsampled: $out")
+    // global budget N div 2 = 105 holds up to hash-sampling variance
+    assert(keptBig + keptSmall <= 126L, s"budget blown: $out")
+  }
+
   test("langId works on any conforming frame") {
     val out = TextAnalysis.langId(docsDf)
     assert(out.count() == 6)

@@ -54,6 +54,28 @@ class QualityRankingSpec extends AnyFunSuite {
     assert(out.filter(_._3 == "shared").forall(_._4 == 0.0))
   }
 
+  test("hashed quality score: deterministic, mean-pooled, bounded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical text -> identical score
+      (3L, "solo"),
+      (4L, "x y"))
+      .toDF("doc_id", "text")
+    val rows = operators.Quality.hashedQualityScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // feature hashing is a pure function of text
+    assert(rows(1L) == rows(2L).copy(), s"identical docs diverged: $rows")
+    // n_feats = unigrams + bigrams = len + (len-1)
+    assert(rows(1L)._1 == 7L && rows(3L)._1 == 1L && rows(4L)._1 == 3L)
+    rows.values.foreach { case (n, raw, score, pass) =>
+      assert(score == raw.toDouble / n, "mean must be raw/n_feats")
+      assert(math.abs(score) <= 500.0, "per-feature weights live in [-500,500]")
+      assert(pass == (score > 0.0))
+    }
+  }
+
   test("q57/q58 registry entries run on the fixture corpus") {
     val bm = SparkEntry.queries("q57_bm25")(spark, "/root/testdata/sf0.001")
     assert(bm.count() > 0)
