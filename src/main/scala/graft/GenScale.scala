@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   *    cross-copy cosine stays unstructured instead of 10 exact clones
   *    per vector, and the ANN query set (vec_id < 10) stays fixed while
   *    the corpus grows — the production shape for a scaling study;
-  *  - `events.ts` is copied RAW (INT64 nanos, read without the loader's
-  *    µs truncation) so the written table round-trips through
-  *    [[Tables.events]] identically to the fixture's.
+  *  - `events.ts` is copied RAW (whatever physical encoding the fixture
+  *    uses — INT64 nanos or TIMESTAMP micros) so the written table
+  *    round-trips through [[Tables.events]] identically to the fixture's.
   *
   * Usage: sbt "runMain graft.GenScale /root/testdata/sf0.1 target/sf1 10"
   * Output is bench-only (BASELINE.md sf1 scaling table) — correctness
@@ -85,7 +85,7 @@ object GenScale {
       off("l_partkey"), off("l_suppkey"), col("l_linenumber"),
       col("l_quantity"), col("l_extendedprice"), col("l_discount"),
       col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
-    // ts stays the raw INT64 nanos column — see the scaladoc
+    // ts stays the raw source column (nanos or micros) — see the scaladoc
     write("events", rep(raw("events")).select(off("event_id"), col("ts"),
       off("user_id"), col("event_type"), col("value"), col("props")))
     write("documents", rep(raw("documents")).select(off("doc_id"),

@@ -16,24 +16,32 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Fixture quirk: `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which
-    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) unless this session
-    * conf is set. It must be set at session CONSTRUCTION (Bench, Verify,
-    * and test builders all do) — schema inference consults only the
-    * session conf, so a per-read option cannot express it, and mutating
-    * the conf inside a table loader would leak global state. */
+  /** Fixture quirk (historical): some generator versions write `events.ts`
+    * as INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL) unless this session conf is set. It must be set
+    * at session CONSTRUCTION (Bench, Verify, and test builders all do) —
+    * schema inference consults only the session conf, so a per-read option
+    * cannot express it. Newer fixtures write plain TIMESTAMP(MICROS); the
+    * loader below handles either encoding by inspecting the read schema. */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** Read `ts` as raw nanos and truncate to microseconds — the same
-    * truncation DuckDB applies, keeping oracle parity. */
+  /** Read `ts` as an instant TIMESTAMP at microsecond precision regardless
+    * of the fixture's physical encoding: nanos-as-long files are truncated
+    * to micros (the same truncation DuckDB applies, keeping oracle parity);
+    * timezone-less micros files (pyarrow's default) arrive as TIMESTAMP_NTZ
+    * and are cast to instant semantics under the session's UTC timezone —
+    * bit-identical micros, but usable by `unix_micros` and as a streaming
+    * event-time column, and the same instant DuckDB sees. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get(NanosConf, "false") == "true",
-      s"reading `events` requires $NanosConf=true at session construction")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fixed = raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+    fixed.select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
   /** Register all tables of a scale-factor dir as temp views. */
