@@ -47,6 +47,9 @@ object Registry {
       operators.TableDiff.defs ++
       operators.Ranking.defs ++
       operators.Sessionize.defs ++
+      operators.SemDedup.defs ++
+      operators.NgramLm.defs ++
+      operators.Dsir.defs ++
       operators.Analytics.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication by embedding clustering (Abbas et
+  * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication", arXiv:2303.09540): k-means-cluster the
+  * corpus embeddings, compare pairs ONLY within a cluster, and among
+  * each semantic-duplicate pair (cosine > threshold) keep the vector
+  * FARTHER from its centroid — the paper's low-centroid-similarity keep
+  * rule, which preserves the diverse examples and drops the prototypical
+  * repeats. This is the third near-dup family next to the LSH-bucketed
+  * q28_dedup_embed (random hyperplanes) and the MinHash/SimHash text
+  * paths: clustering gives each vector exactly ONE blocking key, so the
+  * pair candidates are disjoint by construction and the dedup sweep is
+  * one self-join instead of a multi-table OR.
+  *
+  * Scale shape (100 TB): pairwise work is quadratic only WITHIN a
+  * cluster, so `nClusters` scales with the corpus (the paper runs
+  * k = 50 000 on LAION) and per-cluster population stays bounded — the
+  * same bounded-bucket argument as q28_dedup_embed's LSH tables with the
+  * cluster id playing the bucket role. The k-means build trains on a
+  * bounded deterministic sample ([[Similarity.trainIvfCentroids]] — at
+  * most `MaxTrainRows`, corpus-size-independent), assignment is one
+  * broadcast-join pass over the corpus, and the pair sweep shuffles the
+  * corpus once, keyed by `c_id`. Nothing collects to the driver.
+  *
+  * Determinism: the whole chain — md5-seeded training sample, Lloyd
+  * rounds with DECIMAL-exact-sum / double-division means, argmax
+  * assignment, the cosine comparisons and the keep rule — is
+  * deterministic and SQL-replayable; the oracle reuses the exact
+  * chained-CTE k-means replay proven bit-identical for q29_ivf_cands
+  * ([[Similarity.kmeansChainSql]]).
+  *
+  * Reference scope note: the reference engine (celeborn) has no ANN or
+  * dedup surface — this operator is part of the training-data-pipeline
+  * extension mandated by the build brief.
+  */
+object SemDedup {
+
+  /** Fixture-scaled duplicate threshold — the synthetic embeddings'
+    * planted near-dup pairs sit at cosine ≈ 0.45–0.6 (same corpus
+    * calibration as q28_dedup_embed's 0.45); a real text/image corpus
+    * would run 0.95+. */
+  private val Threshold = 0.45
+  private val Clusters = 16
+
+  /** PUBLIC API — per-vector SemDeDup verdicts over (vec_id, embedding):
+    * (vec_id, c_id, cent_sim, kept). A vector is dropped iff some other
+    * vector in its k-means cluster has cosine > `threshold` with it and
+    * ranks lower by (centroid similarity, vec_id) — i.e. of every
+    * duplicate pair the member closer to the centroid is dropped,
+    * deterministic under ties by smallest vec_id. */
+  def semDedup(s: SparkSession, corpus: DataFrame, nClusters: Int = Clusters,
+      threshold: Double = Threshold, trainIters: Int = 2): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val cent = Similarity.trainIvfCentroids(
+      s, Similarity.trainSample(e, nClusters), nClusters, trainIters)
+    val a = Similarity.assignWithSim(s, e, cent)
+    // Within-cluster duplicate sweep: one exchange keyed by c_id. The
+    // keep rule is a pure pairwise predicate (no transitive closure — a
+    // chain a~b~c keeps exactly its per-pair survivors), so dropped =
+    // one semi-join-shaped aggregation, not a fixpoint.
+    val dropped = a.as("x").join(a.as("y"),
+        col("x.c_id") === col("y.c_id") && col("x.vec_id") =!= col("y.vec_id"))
+      .where(VectorOps.cosineFast(s, "x.embedding", "y.embedding") > threshold)
+      .where(col("y.c_sim") < col("x.c_sim") ||
+        (col("y.c_sim") === col("x.c_sim") && col("y.vec_id") < col("x.vec_id")))
+      .groupBy(col("x.vec_id").as("vec_id")).agg(count(lit(1)).as("nd"))
+    a.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        round(col("c_sim"), 9).as("cent_sim"),
+        col("nd").isNull.as("kept"))
+      .orderBy(col("vec_id").asc_nulls_last)
+  }
+
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    semDedup(s, Tables.t(s, dir, "embeddings"))
+
+  /** Oracle: the shared k-means chain (bit-identical replay, see
+    * q29_ivf_cands) + the pair sweep and keep rule in plain SQL. */
+  private def q86Sql: String = {
+    val iters = 2
+    s"""WITH ${Similarity.kmeansChainSql(Clusters, iters)},
+       |dropped AS (
+       |  SELECT x.vec_id FROM afull x JOIN afull y
+       |    ON x.c_id = y.c_id AND x.vec_id <> y.vec_id
+       |  WHERE ${VectorSql.cosine("x.embedding", "y.embedding")} > $Threshold
+       |    AND (y.c_sim < x.c_sim OR (y.c_sim = x.c_sim AND y.vec_id < x.vec_id))
+       |  GROUP BY x.vec_id)
+       |SELECT a.vec_id, a.c_id, ROUND(a.c_sim, 9) AS cent_sim,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM afull a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id ASC NULLS LAST""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q86_semdedup", q86, Some(q86Sql)))
+}

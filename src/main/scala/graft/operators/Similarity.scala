@@ -258,6 +258,13 @@ object Similarity {
     * any first(). */
   private def assignToCentroids(s: SparkSession, e: DataFrame,
       cent: DataFrame): DataFrame =
+    assignWithSim(s, e, cent).drop("c_sim")
+
+  /** As [[assignToCentroids]] but keeping the winning centroid cosine
+    * (`c_sim`) — the SemDeDup keep rule ranks within-cluster duplicates
+    * by their distance to the centroid. */
+  private[operators] def assignWithSim(s: SparkSession, e: DataFrame,
+      cent: DataFrame): DataFrame =
     e.join(broadcast(cent), lit(true))
       .select(col("vec_id"), col("embedding"), col("c_id"),
         VectorOps.cosineFast(s, "c_emb", "embedding").as("c_sim"))
@@ -265,7 +272,7 @@ object Similarity {
       .agg(max(struct(col("c_sim"), (-col("c_id")).as("nc"),
         col("c_id"), col("embedding"))).as("best"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.c_id").as("c_id"))
+        col("best.c_id").as("c_id"), col("best.c_sim").as("c_sim"))
 
   /** PUBLIC API — k-means (Lloyd) coarse-quantizer training, Spark-first
     * and deterministic: seeds are the `k` corpus vectors with smallest
@@ -394,7 +401,7 @@ object Similarity {
     * 100 TB training over the corpus would dominate the build. Shared by
     * the in-memory (annIvfTopK) and persisted (buildIvfIndex) paths so
     * identical parameters produce identical indexes. */
-  private def trainSample(e: DataFrame, nCentroids: Int): DataFrame = e
+  private[operators] def trainSample(e: DataFrame, nCentroids: Int): DataFrame = e
     .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
       col("vec_id").asc_nulls_last)
     .limit(20 * nCentroids)
@@ -448,11 +455,15 @@ object Similarity {
   private def q29ivfCands(s: SparkSession, dir: String): DataFrame =
     annIvfCandidates(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
-  /** Oracle replaying the WHOLE IVF build in SQL — training sample,
-    * seeds, `TrainIters` unrolled Lloyd rounds, full-corpus argmax
-    * assignment, probe selection — as chained CTEs (the q74 PageRank
-    * oracle discipline applied to k-means). Cross-engine parity is
-    * IEEE-exact, not approximate:
+  /** Chained-CTE SQL replay of the WHOLE k-means build — training
+    * sample, seeds, `iters` unrolled Lloyd rounds, full-corpus argmax
+    * assignment (with `c_sim` kept) — the q74 PageRank oracle discipline
+    * applied to k-means. Shared by the IVF candidate oracle below and
+    * the SemDeDup oracle ([[SemDedup]]). Emits the WITH-body text (no
+    * `WITH` keyword) defining CTEs `emb`, `samp`, `cent0`..`cent$iters`,
+    * and `afull` (vec_id, embedding, c_id, c_sim); the trained centroid
+    * table is `cent$iters`. Cross-engine parity is IEEE-exact, not
+    * approximate:
     *   - cosines are the same left-to-right double folds as
     *     `q29bruteSql` (whose exact rank comparisons hash-match);
     *   - per-element float→DECIMAL(28,12) goes through DOUBLE — DuckDB's
@@ -463,15 +474,15 @@ object Similarity {
     *     chain of exactly-rounded IEEE ops with one representable answer.
     * Verified bit-identical (centroids, assignment, probes, candidate
     * aggregates) against Spark at sf0.01 and sf0.1. */
-  private def q29ivfCandsSql: String = {
+  private[operators] def kmeansChainSql(k: Int, iters: Int): String = {
     def assignCte(src: String, cent: String, out: String) =
       s"""${out}_s AS (
          |  SELECT s.vec_id, s.embedding, c.c_id,
          |    ${VectorSql.cosine("c.c_emb", "s.embedding")} AS c_sim
          |  FROM $src s CROSS JOIN $cent c),
          |$out AS (
-         |  SELECT vec_id, embedding, c_id FROM (
-         |    SELECT vec_id, embedding, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |  SELECT vec_id, embedding, c_id, c_sim FROM (
+         |    SELECT vec_id, embedding, c_id, c_sim, ROW_NUMBER() OVER (PARTITION BY vec_id
          |      ORDER BY c_sim DESC NULLS LAST, c_id ASC NULLS LAST) AS rn
          |    FROM ${out}_s) WHERE rn = 1)""".stripMargin
     def meanCte(asg: String, prev: String, out: String) =
@@ -487,19 +498,23 @@ object Similarity {
          |  SELECT p.c_id, COALESCE(l.new_emb, p.c_emb) AS c_emb
          |  FROM $prev p LEFT JOIN ${out}_l l ON p.c_id = l.c_id)""".stripMargin
     val seedOrder = "md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC"
-    val rounds = (0 until TrainIters).map { r =>
+    val rounds = (0 until iters).map { r =>
       assignCte("samp", s"cent$r", s"a$r") + ",\n" +
         meanCte(s"a$r", s"cent$r", s"cent${r + 1}")
     }.mkString(",\n")
-    val centF = s"cent$TrainIters"
-    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-       |samp AS (SELECT vec_id, embedding FROM emb ORDER BY $seedOrder LIMIT ${20 * Centroids}),
+    s"""emb AS (SELECT vec_id, embedding FROM embeddings),
+       |samp AS (SELECT vec_id, embedding FROM emb ORDER BY $seedOrder LIMIT ${20 * k}),
        |cent0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY $seedOrder) AS INT) AS c_id,
        |         embedding AS c_emb
-       |  FROM (SELECT vec_id, embedding FROM samp ORDER BY $seedOrder LIMIT $Centroids)),
+       |  FROM (SELECT vec_id, embedding FROM samp ORDER BY $seedOrder LIMIT $k)),
        |$rounds,
-       |${assignCte("emb", centF, "afull")},
+       |${assignCte("emb", s"cent$iters", "afull")}""".stripMargin
+  }
+
+  private def q29ivfCandsSql: String = {
+    val centF = s"cent$TrainIters"
+    s"""WITH ${kmeansChainSql(Centroids, TrainIters)},
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb WHERE vec_id < 10),
        |probes AS (
        |  SELECT q_id, c_id FROM (
