@@ -57,5 +57,6 @@ object Registry {
       streaming.RateLimited.defs ++
       streaming.StreamJoin.defs ++
       streaming.StreamStaticJoin.defs ++
+      streaming.StreamUpsert.defs ++
       operators.Udfs.defs
 }

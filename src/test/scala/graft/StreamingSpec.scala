@@ -14,6 +14,8 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class UEv(ts: Timestamp, user_id: Long)
 case class IdEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class CdcEv(user_id: Long, ts: Timestamp, event_id: Long,
+    event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -218,6 +220,46 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("w_start"), col("event_type"), col("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(sunk == batch, s"sink ${sunk.size} windows vs batch ${batch.size}")
+  }
+
+  test("foreachBatch CDC merge: any micro-batching converges, merges are idempotent") {
+    import spark.implicits._
+    import graft.streaming.StreamUpsert
+    val log = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val expected = StreamUpsert.latestState(log, "user_id", "ts")
+      .drop("n_changes").collect().map(_.toSeq).toSet
+    def state(dir: String): Set[Seq[Any]] =
+      spark.read.parquet(dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect().map(_.toSeq).toSet
+    val rows = log.as[CdcEv].collect().toSeq
+
+    // batch-boundary invariance: 3 deliveries vs 1 delivery, same table
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cdc_a").toString
+    val parts = rows.groupBy(_.event_id % 3).toSeq.sortBy(_._1).map(_._2)
+    parts.foreach(p =>
+      StreamUpsert.mergeBatch(spark, p.toDF(), dirA, "user_id", "ts"))
+    assert(state(dirA) == expected, "3-batch merge diverged from batch kernel")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cdc_b").toString
+    StreamUpsert.mergeBatch(spark, rows.toDF(), dirB, "user_id", "ts")
+    assert(state(dirB) == expected, "1-batch merge diverged from batch kernel")
+
+    // idempotence: re-delivering the last batch must be a no-op
+    StreamUpsert.mergeBatch(spark, parts.last.toDF(), dirA, "user_id", "ts")
+    assert(state(dirA) == expected, "replayed batch changed the table")
+
+    // end-to-end: the foreachBatch stream converges to the same table
+    val dirC = java.nio.file.Files.createTempDirectory("graft_cdc_c").toString
+    val stream = MemoryStream[CdcEv](spark, 9)
+    val q = StreamUpsert.runMergeStream(spark, stream.toDF(), dirC, "user_id", "ts")
+    try {
+      val (h, t2) = rows.splitAt(rows.size / 2)
+      stream.addData(h); q.processAllAvailable()
+      stream.addData(t2); q.processAllAvailable()
+    } finally q.stop()
+    assert(state(dirC) == expected, "streamed merge diverged from batch kernel")
   }
 
   test("session window over a stream matches the batch equivalent") {
