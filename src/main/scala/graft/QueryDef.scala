@@ -48,6 +48,7 @@ object Registry {
       operators.Ranking.defs ++
       operators.Sessionize.defs ++
       operators.SemDedup.defs ++
+      operators.Sketches.defs ++
       operators.NgramLm.defs ++
       operators.Dsir.defs ++
       operators.Analytics.defs ++
