@@ -44,6 +44,7 @@ object Registry {
       operators.Packing.defs ++
       operators.Pruning.defs ++
       operators.Quality.defs ++
+      operators.Quota.defs ++
       operators.TableDiff.defs ++
       operators.Ranking.defs ++
       operators.Sessionize.defs ++

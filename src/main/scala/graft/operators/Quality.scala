@@ -84,7 +84,8 @@ object Quality {
     * is identical, only the lookup differs. Integer raw sums → the
     * oracle replays bit-exactly; the one float op (mean) is a single
     * IEEE division. */
-  def hashedQualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def hashedQualityScore(docs: DataFrame, textCol: String = "text",
+      carry: Seq[String] = Nil): DataFrame = {
     val wExpr = (c: String) =>
       s"aggregate($c, 0L, (a, x) -> " +
         "a + ((cast(conv(substr(md5(x), 1, 6), 16, 10) as bigint) % 1001) - 500))"
@@ -95,9 +96,9 @@ object Quality {
             "transform(sequence(1, size(s) - 1)," +
               " i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")))
       .select(
-        col("doc_id"),
-        (size(col("s")) + size(col("bg"))).cast("long").as("n_feats"),
-        (expr(wExpr("s")) + expr(wExpr("bg"))).as("raw_score"))
+        col("doc_id") +: carry.map(col) :+
+          (size(col("s")) + size(col("bg"))).cast("long").as("n_feats") :+
+          (expr(wExpr("s")) + expr(wExpr("bg"))).as("raw_score"): _*)
       .withColumn("score", col("raw_score").cast("double") / col("n_feats"))
       .withColumn("pass", col("score") > 0.0)
       .orderBy(col("doc_id").asc_nulls_last)
@@ -132,18 +133,27 @@ object Quality {
   private def q85(s: SparkSession, dir: String): DataFrame =
     hashedQualityScore(Tables.t(s, dir, "documents"))
 
+  /** The q85 scoring pipeline as reusable WITH-body CTEs (`d`, `b`,
+    * `m` — m carries doc_id, n_feats, raw_score); shared with the
+    * per-source quota oracle ([[Quota]]). `extraCols` propagates
+    * additional document columns through the chain. */
+  private[operators] def scoreSqlCtes(extraCols: String = ""): String = {
+    val ec = if (extraCols.isEmpty) "" else s", $extraCols"
+    s"""d AS (SELECT doc_id$ec, string_split(text, ' ') AS s FROM documents),
+       |b AS (SELECT doc_id$ec, s,
+       |  [s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))] AS bg FROM d),
+       |m AS (SELECT doc_id$ec,
+       |  CAST(len(s) + len(bg) AS BIGINT) AS n_feats,
+       |  CAST(COALESCE(list_sum(list_transform(s,
+       |      x -> ('0x' || substr(md5(x), 1, 6))::BIGINT % 1001 - 500)), 0)
+       |    + COALESCE(list_sum(list_transform(bg,
+       |      x -> ('0x' || substr(md5(x), 1, 6))::BIGINT % 1001 - 500)), 0)
+       |    AS BIGINT) AS raw_score
+       |FROM b)""".stripMargin
+  }
+
   private val q85Sql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-      |b AS (SELECT doc_id, s,
-      |  [s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))] AS bg FROM d),
-      |m AS (SELECT doc_id,
-      |  CAST(len(s) + len(bg) AS BIGINT) AS n_feats,
-      |  CAST(COALESCE(list_sum(list_transform(s,
-      |      x -> ('0x' || substr(md5(x), 1, 6))::BIGINT % 1001 - 500)), 0)
-      |    + COALESCE(list_sum(list_transform(bg,
-      |      x -> ('0x' || substr(md5(x), 1, 6))::BIGINT % 1001 - 500)), 0)
-      |    AS BIGINT) AS raw_score
-      |FROM b)
+    s"""WITH ${scoreSqlCtes()}
       |SELECT doc_id, n_feats, raw_score,
       |  CAST(raw_score AS DOUBLE) / n_feats AS score,
       |  (CAST(raw_score AS DOUBLE) / n_feats > 0.0) AS pass

@@ -19,4 +19,13 @@ class WindowLimitSpec extends AnyFunSuite {
     assert(plan.contains("Partial"),
       s"expected a partial (map-side) group limit:\n$plan")
   }
+
+  test("q91 per-source quota rides the same map-side group limit") {
+    val plan = SparkEntry.queries("q91_source_quota")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a partial (map-side) group limit:\n$plan")
+  }
 }
