@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CdcCuts, CosineSimilarity, DotProduct}
+import graft.plans.{CdcCuts, CmsEstimate, CosineSimilarity, DotProduct}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Attach with
@@ -33,7 +33,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (new FunctionIdentifier("cdc_cuts"),
       new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
-      (children: Seq[Expression]) => CdcCuts(children(0))))
+      (children: Seq[Expression]) => CdcCuts(children(0))),
+    (new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
 }
 
 /** Runtime registration for sessions the engine does not construct. */

@@ -61,6 +61,69 @@ object Sketches {
     per.unionByName(global).orderBy(col("source").asc_nulls_last)
   }
 
+  private val TopK = 10
+  private val CmsEps = 0.001
+  private val CmsConf = 0.99
+  private val CmsSeed = 42
+
+  /** PUBLIC API — per-source heavy-hitter estimates: a Count-Min sketch
+    * per source (Spark's built-in `count_min_sketch` aggregate — fixed
+    * seed, mergeInPlace-combined map-side, so the result is independent
+    * of partitioning), probed for the corpus's exact global top-`k`
+    * tokens with the native [[graft.plans.CmsEstimate]] expression.
+    * The CMS answer is one-sided: est ≥ true, est ≤ true + eps·N_source
+    * (bounded in SketchSpec against the exact twin). Like the HLL
+    * profile, the SKETCH is the state: per-slice sketches persist and
+    * merge without rescanning, and memory is O(1/eps · ln 1/δ) per
+    * source no matter how skewed the token distribution. */
+  def heavyHitters(s: SparkSession, docs: DataFrame, k: Int = TopK,
+      eps: Double = CmsEps, confidence: Double = CmsConf,
+      seed: Int = CmsSeed): DataFrame = {
+    graft.Graft.register(s)
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc_nulls_last, col("tok").asc_nulls_last)
+      .limit(k).select(col("tok"))
+    val cms = tok.groupBy(col("source"))
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence),
+        lit(seed)).as("sk"))
+    cms.join(broadcast(top), lit(true))
+      .select(col("source"), col("tok"),
+        expr("cms_estimate(sk, tok)").as("est_count"))
+      .orderBy(col("source").asc_nulls_last, col("tok").asc_nulls_last)
+  }
+
+  /** PUBLIC API — the exact twin: true per-source counts of the global
+    * top-`k` tokens. */
+  def heavyHittersExact(docs: DataFrame, k: Int = TopK): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc_nulls_last, col("tok").asc_nulls_last)
+      .limit(k).select(col("tok"))
+    tok.join(broadcast(top), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("source").asc_nulls_last, col("tok").asc_nulls_last)
+  }
+
+  private def q92cms(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(s, Tables.t(s, dir, "documents"))
+
+  private def q92exact(s: SparkSession, dir: String): DataFrame =
+    heavyHittersExact(Tables.t(s, dir, "documents"))
+
+  private val q92exactSql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |top AS (
+       |  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+       |  ORDER BY c DESC NULLS LAST, tok ASC NULLS LAST LIMIT $TopK)
+       |SELECT source, tok, COUNT(*) AS n
+       |FROM tok JOIN top USING (tok)
+       |GROUP BY source, tok
+       |ORDER BY source ASC NULLS LAST, tok ASC NULLS LAST""".stripMargin
+
   private def q90sketch(s: SparkSession, dir: String): DataFrame =
     hllProfile(Tables.t(s, dir, "documents"))
 
@@ -79,5 +142,7 @@ object Sketches {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q90_hll_profile", q90sketch, None),
-    QueryDef("q90_distinct_exact", q90exact, Some(q90exactSql)))
+    QueryDef("q90_distinct_exact", q90exact, Some(q90exactSql)),
+    QueryDef("q92_heavy_hitters", q92cms, None),
+    QueryDef("q92_hitters_exact", q92exact, Some(q92exactSql)))
 }

@@ -58,7 +58,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q80_bloom_join", "q81_cdc_dedup", "q82_split_leakage",
     "q83_bpe_encode", "q84_temperature_mix", "q85_quality_score",
     "q86_semdedup", "q87_bigram_lm", "q88_dsir", "q89_stream_upsert",
-    "q90_hll_profile", "q90_distinct_exact", "q91_source_quota")
+    "q90_hll_profile", "q90_distinct_exact", "q91_source_quota",
+    "q92_heavy_hitters", "q92_hitters_exact")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

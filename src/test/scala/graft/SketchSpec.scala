@@ -50,4 +50,32 @@ class SketchSpec extends AnyFunSuite {
   test("hll profile is deterministic across invocations") {
     assert(profile() == profile())
   }
+
+  test("cms heavy-hitter estimates obey the one-sided error bound") {
+    val est = SparkEntry.queries("q92_heavy_hitters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = SparkEntry.queries("q92_hitters_exact")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a top token can be absent from a source; the estimate set probes
+    // every (source, top-token) pair, the exact twin only realized ones
+    assert(exact.keySet.subsetOf(est.keySet))
+    val tokensPerSource = Tables.t(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k @ (src, _), e) <- est) {
+      val t = exact.getOrElse(k, 0L)
+      assert(e >= t, s"$k: CMS underestimated $e < $t")
+      assert(e <= t + (0.001 * tokensPerSource(src)).ceil.toLong,
+        s"$k: est=$e exceeds eps bound over true=$t")
+    }
+  }
+
+  test("cms sketches are partitioning-invariant (mergeInPlace is exact)") {
+    import graft.operators.Sketches
+    val docs = Tables.t(spark, sf, "documents")
+    val a = Sketches.heavyHitters(spark, docs.repartition(7)).collect().toSeq
+    val b = Sketches.heavyHitters(spark, docs.repartition(2)).collect().toSeq
+    assert(a == b)
+  }
 }
