@@ -60,5 +60,6 @@ object Registry {
       streaming.StreamJoin.defs ++
       streaming.StreamStaticJoin.defs ++
       streaming.StreamUpsert.defs ++
+      streaming.ThresholdAlert.defs ++
       operators.Udfs.defs
 }

@@ -262,6 +262,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(state(dirC) == expected, "streamed merge diverged from batch kernel")
   }
 
+  test("transformWithState threshold alerts match the batch twin exactly") {
+    import spark.implicits._
+    import graft.streaming.ThresholdAlert
+    import ThresholdAlert.SpendEvent
+    val rows = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[SpendEvent]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val expected = SparkEntry.queries("q93_threshold_alerts")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "threshold should split the fixture's users")
+    // the v2 API requires the RocksDB state store; provider is read at
+    // query start, so set it for this query only and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[SpendEvent](spark, 10)
+      val q = ThresholdAlert.alerts(stream.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_alerts").start()
+      try {
+        // three in-(ts)-order deliveries: per-key monotone across batches
+        rows.grouped(rows.size / 3 + 1).foreach { b =>
+          stream.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table("tws_alerts").collect().map(_.toSeq).toSet
+      assert(got == expected, s"streamed=${got.size} batch=${expected.size}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session window over a stream matches the batch equivalent") {
     import spark.implicits._
     val events = Tables.t(spark, sf, "events")
