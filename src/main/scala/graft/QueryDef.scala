@@ -21,6 +21,7 @@ object Registry {
   def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.Dedup.defs ++
+      operators.IncrementalDedup.defs ++
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
@@ -45,6 +46,7 @@ object Registry {
       operators.Pruning.defs ++
       operators.Quality.defs ++
       operators.Quota.defs ++
+      operators.Sharding.defs ++
       operators.TableDiff.defs ++
       operators.Ranking.defs ++
       operators.Sessionize.defs ++

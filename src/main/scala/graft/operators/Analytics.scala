@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-2 analytics additions: exact percentiles, pivot, and the
@@ -295,6 +296,59 @@ object Analytics {
       |  o_orderkey ASC NULLS LAST
       |LIMIT 100""".stripMargin
 
+  /** Q94: TPC-H Q21 (suppliers who kept orders waiting) — the
+    * multi-level EXISTS / NOT EXISTS shape. The textbook form correlates
+    * two subqueries against lineitem per outer row, which decorrelates
+    * into a semi-join AND an anti-join, each rescanning lineitem; here
+    * it is rewritten Spark-first around ONE orderkey partitioning: after
+    * the lineitem⋈orders sort-merge join, the per-(order, supplier)
+    * late-flag fold and the per-order supplier/late counts both run
+    * exchange-free (HashPartitioning(l_orderkey) satisfies the grouped
+    * and windowed distributions), and the EXISTS/NOT-EXISTS pair
+    * collapses to `n_supp > 1 AND n_late = 1` — some other supplier
+    * shipped in the order, no other supplier was late. "Late" is
+    * l_shipdate > o_orderdate + 30 days (the schema carries no
+    * receipt/commit dates). Supplier detail joins by broadcast. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    val perSupp = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1).otherwise(0)).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val waiting = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .where(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+    waiting
+      .join(broadcast(Tables.t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc_nulls_last, col("s_name").asc_nulls_last)
+  }
+
+  private val q94Sql =
+    """WITH j AS (
+      |  SELECT l_orderkey AS okey, l_suppkey AS skey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |        THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT skey FROM (
+      |    SELECT skey, late,
+      |      COUNT(*) OVER (PARTITION BY okey) AS n_supp,
+      |      SUM(late) OVER (PARTITION BY okey) AS n_late
+      |    FROM j) x
+      |  WHERE late = 1 AND n_supp > 1 AND n_late = 1)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM f JOIN supplier ON skey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_percentiles", q39, Some(q39Sql)),
     QueryDef("q40_pivot", q40, Some(q40Sql)),
@@ -306,7 +360,8 @@ object Analytics {
     QueryDef("q46_json_struct", q46, Some(q46Sql)),
     QueryDef("q47_subqueries", q47, Some(q47Sql)),
     QueryDef("q63_tpch_q7", q63, Some(q63Sql)),
-    QueryDef("q64_tpch_q18", q64, Some(q64Sql)))
+    QueryDef("q64_tpch_q18", q64, Some(q64Sql)),
+    QueryDef("q94_tpch_q21", q94, Some(q94Sql)))
 
   /** Q47: the SQL entry path — correlated EXISTS / NOT EXISTS, which
     * Catalyst decorrelates into semi/anti joins (same ANSI text runs on
