@@ -25,6 +25,7 @@ object Registry {
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
+      operators.ImageDedup.defs ++
       operators.Pipeline.defs ++
       operators.TemporalJoins.defs ++
       operators.Upsert.defs ++

@@ -64,7 +64,7 @@ object Multimodal {
     * pays a provider scan plus temp-file churn per record. The SPIs are
     * thread-safe; reader/writer INSTANCES are not, so one is created
     * per call (cheap) over a memory-cached stream. */
-  private lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+  private[operators] lazy val pngReaderSpi: javax.imageio.spi.ImageReaderSpi = {
     val it = javax.imageio.spi.IIORegistry.getDefaultInstance
       .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
     var found: javax.imageio.spi.ImageReaderSpi = null
@@ -76,7 +76,7 @@ object Multimodal {
     found
   }
 
-  private lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+  private[operators] lazy val pngWriterSpi: javax.imageio.spi.ImageWriterSpi = {
     val it = javax.imageio.spi.IIORegistry.getDefaultInstance
       .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
     var found: javax.imageio.spi.ImageWriterSpi = null
