@@ -23,6 +23,7 @@ object Registry {
       operators.Dedup.defs ++
       operators.IncrementalDedup.defs ++
       operators.Similarity.defs ++
+      operators.Pq.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.ImageDedup.defs ++

@@ -61,7 +61,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q90_hll_profile", "q90_distinct_exact", "q91_source_quota",
     "q92_heavy_hitters", "q92_hitters_exact", "q93_threshold_alerts",
     "q94_tpch_q21", "q95_incremental_dedup", "q96_hrw_shards",
-    "q97_phash_dedup")
+    "q97_phash_dedup", "q98_pq_codes", "q98_ann_pq")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
