@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CdcCuts, CmsEstimate, CosineSimilarity, DotProduct}
+import graft.plans.{CdcCuts, CmsEstimate, CosineSimilarity, DotProduct, L2Squared}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Attach with
@@ -36,7 +36,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => CdcCuts(children(0))),
     (new FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))),
+    (new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_sq"),
+      (children: Seq[Expression]) => L2Squared(children(0), children(1))))
 }
 
 /** Runtime registration for sessions the engine does not construct. */

@@ -45,11 +45,17 @@ object Pq {
   private val SampleN = 20 * NCode
   private val K = 5 // top-k of the ADC ranking
 
-  /** Squared L2 over two float arrays as a sequential double fold —
-    * same parity discipline as VectorOps.dotSql. */
-  private def l2Sql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double)) * " +
-      s"(cast(x as double) - cast(y as double))), cast(0.0 as double), (acc, p) -> acc + p)"
+  /** Squared L2 over two float arrays: the native codegen'd `l2_sq`
+    * expression (graft.plans.L2Squared) — bit-identical to the
+    * sequential higher-order fold
+    * `aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, +)` but evaluated
+    * inside whole-stage codegen (the HOF form runs interpreted per
+    * element and dominated the encode cost: corpus × NCode folds per
+    * subspace). Same parity discipline as VectorOps.cosineFast. */
+  private def l2Fast(a: String, b: String): org.apache.spark.sql.Column = {
+    graft.Graft.register(org.apache.spark.sql.SparkSession.active)
+    expr(s"l2_sq($a, $b)")
+  }
 
   /** (vec_id, sub, svec): the 8-d subvector rows of a corpus frame. */
   private def subVecs(e: DataFrame): DataFrame =
@@ -64,7 +70,7 @@ object Pq {
   private def assign(svecs: DataFrame, cb: DataFrame): DataFrame =
     svecs.join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("svec"), col("c_id"),
-        expr(l2Sql("svec", "c_emb")).as("d2"))
+        l2Fast("svec", "c_emb").as("d2"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("c_id"), col("svec"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.c_id").as("code"),

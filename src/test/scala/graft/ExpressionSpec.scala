@@ -70,6 +70,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(err.getMessage.contains("array<float>"))
   }
 
+  test("l2_sq is bit-identical to the zip_with/aggregate squared L2") {
+    Graft.register(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val hofL2 = "aggregate(zip_with(x.embedding, y.embedding, " +
+      "(a, b) -> (cast(a as double) - cast(b as double)) * " +
+      "(cast(a as double) - cast(b as double))), cast(0.0 as double), " +
+      "(acc, p) -> acc + p)"
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.vec_id") < col("y.vec_id") && col("y.vec_id") < 40)
+      .select(
+        expr("l2_sq(x.embedding, y.embedding)").as("fast"),
+        expr(hofL2).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"fast=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("l2_sq null and type behavior") {
+    Graft.register(spark)
+    val row = spark.sql(
+      "SELECT l2_sq(cast(null as array<float>), array(cast(1.0 as float)))")
+      .collect()(0)
+    assert(row.isNullAt(0), "null input must yield null")
+    val err = intercept[Exception] {
+      spark.sql("SELECT l2_sq(array(1), array(2))").collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
+  }
+
   test("GraftExtensions registers the SQL functions via withExtensions") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // materialize the shared session (and its context) first
