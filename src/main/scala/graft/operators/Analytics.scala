@@ -361,7 +361,49 @@ object Analytics {
     QueryDef("q47_subqueries", q47, Some(q47Sql)),
     QueryDef("q63_tpch_q7", q63, Some(q63Sql)),
     QueryDef("q64_tpch_q18", q64, Some(q64Sql)),
-    QueryDef("q94_tpch_q21", q94, Some(q94Sql)))
+    QueryDef("q94_tpch_q21", q94, Some(q94Sql)),
+    QueryDef("q99_tpch_q2", q99, Some(q99Sql)),
+    QueryDef("q100_notin_naaj", q100, Some(q100Sql)))
+
+  /** Q99: TPC-H Q2's correlation pattern — rows selected by a correlated
+    * SCALAR aggregate subquery (Q2 picks the supplier matching each
+    * part's MIN supplycost; this schema carries no partsupp, so the
+    * shape runs as: the customer(s) holding each nation's MAX account
+    * balance). Catalyst decorrelates the scalar subquery into ONE keyed
+    * aggregate joined back — not a per-outer-row re-execution — which is
+    * the q47 discipline extended from EXISTS to scalar aggregates; the
+    * same ANSI text runs on both engines. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(q99Sql)
+  }
+
+  private val q99Sql =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM customer c JOIN nation ON c.c_nationkey = n_nationkey
+      |WHERE c.c_acctbal = (SELECT MAX(c2.c_acctbal) FROM customer c2
+      |    WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY n_name ASC NULLS LAST, c_name ASC NULLS LAST,
+      |  c_acctbal ASC NULLS LAST""".stripMargin
+
+  /** Q100: NOT IN — the null-aware anti join class, distinct from q15's
+    * NOT EXISTS anti join: one NULL in the subquery empties the whole
+    * result (ternary logic). When the build side is nullable Spark
+    * plans the single-column null-aware BroadcastHashJoin (SPARK-32290,
+    * asserted in NaajSpec on a nullable frame — not a nested loop); on
+    * this fixture Catalyst PROVES o_custkey non-null and legally
+    * degrades to the plain anti join — exactly the planning distinction
+    * the class exists to test. Both engines return the complement. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(s, dir)
+    s.sql(q100Sql)
+  }
+
+  private val q100Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY c_custkey ASC NULLS LAST, c_name ASC NULLS LAST""".stripMargin
 
   /** Q47: the SQL entry path — correlated EXISTS / NOT EXISTS, which
     * Catalyst decorrelates into semi/anti joins (same ANSI text runs on
