@@ -24,6 +24,7 @@ object Registry {
       operators.IncrementalDedup.defs ++
       operators.Similarity.defs ++
       operators.Pq.defs ++
+      operators.Spectral.defs ++
       operators.TextAnalysis.defs ++
       operators.Multimodal.defs ++
       operators.ImageDedup.defs ++

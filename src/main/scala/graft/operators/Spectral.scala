@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spectral embedding analysis: the top principal component of the
+  * corpus embedding distribution by exact covariance + power iteration
+  * — the statistic behind embedding whitening / "all-but-the-top"
+  * post-processing (Mu & Viswanath, ICLR 2018: removing the dominant
+  * direction de-biases similarity scores) and OPQ-style rotation
+  * checks. A training-data pipeline runs this to detect a degenerate
+  * embedding batch (one direction swallowing the variance) before
+  * ANN/dedup passes that assume isotropy.
+  *
+  * Scale shape: the covariance is estimated on a bounded
+  * md5-deterministic sample (corpus-size-independent — the q29/q98
+  * training-sample discipline; 1 000 rows bounds every DECIMAL(28,12)
+  * sum's unscaled value under 2^52, the exact-double-conversion
+  * condition), so the heavy corpus never feeds the d² pair stream; the
+  * per-iteration matvec is a 64²-row frame. Applying the component
+  * (projection scores per vector) is one broadcast join + the native
+  * `dot_product` expression over the corpus — map-only.
+  *
+  * Determinism/oracle (the q74 PageRank discipline): every sum
+  * accumulates in DECIMAL(28,12) (order-independent), every scalar op
+  * (subtract, multiply, divide, sqrt) is a single IEEE-exact double op,
+  * and each iteration's vector is rounded to 12 dp before the next —
+  * both engines carry bit-identical doubles through mean, covariance,
+  * three power iterations, and the Rayleigh-style eigenvalue estimate,
+  * so the whole pipeline is DuckDB-replayed as chained CTEs.
+  */
+object Spectral {
+
+  private val Dim = VectorSql.Dim // 64
+  private val SampleN = 1000 // decimal-parity bound: terms in [-4,4] → ≤4e15 < 2^52
+  private val Iters = 3
+
+  /** PUBLIC API — (pos, loading, eig): unit-norm top principal
+    * component of the sample's covariance plus the eigenvalue estimate
+    * ‖Cv‖ from the final iteration (repeated per row for a single
+    * hashable frame). Pass a bounded sample; the registry path uses the
+    * md5-smallest SampleN rows. */
+  def topComponent(s: SparkSession, sample: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    val samp = sample.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val n = samp.count() // driver scalar, like pageRank's node count
+    val elems = samp
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+      .localCheckpoint()
+    val mu = elems.groupBy(col("pos"))
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / n).as("mu"))
+    val cent = elems.join(broadcast(mu), "pos")
+      .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("d"))
+    val cov = cent.as("a").join(cent.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(col("a.pos").as("i"), col("b.pos").as("j"),
+        (col("a.d") * col("b.d")).cast("decimal(28,12)").as("t"))
+      .groupBy(col("i"), col("j"))
+      .agg((sum(col("t")).cast("double") / (n - 1)).as("c"))
+      .localCheckpoint()
+    var v = s.range(Dim).select(col("id").cast("int").as("pos"),
+      lit(1.0 / 8).as("loading")) // 1/8 = exact binary, |v|=1 at dim 64
+    var eig = lit(0.0)
+    for (_ <- 1 to iters) {
+      val w = cov.join(v.withColumnRenamed("pos", "j"), Seq("j"))
+        .select(col("i"), (col("c") * col("loading")).cast("decimal(28,12)").as("t"))
+        .groupBy(col("i"))
+        .agg(round(sum(col("t")).cast("double"), 12).as("w"))
+      val nrm = w.select(
+        sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
+          .as("nrm"))
+      v = w.join(broadcast(nrm), lit(true))
+        .select(col("i").as("pos"), round(col("w") / col("nrm"), 12).as("loading"))
+        .localCheckpoint()
+      eig = round(lit(nrm.head().getDouble(0)), 9)
+    }
+    v.select(col("pos"), col("loading"), eig.as("eig"))
+      .orderBy(col("pos").asc_nulls_last)
+  }
+
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val samp = e
+      .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+        col("vec_id").asc_nulls_last)
+      .limit(SampleN)
+    topComponent(s, samp)
+  }
+
+  private val q101Sql = {
+    def matvec(prev: String, out: String): String =
+      s"""${out}_w AS (
+         |  SELECT c.i, round(CAST(SUM(CAST(c.c * v.loading AS DECIMAL(28,12))) AS DOUBLE), 12) AS w
+         |  FROM cov c JOIN $prev v ON c.j = v.pos GROUP BY c.i),
+         |${out}_n AS (
+         |  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+         |  FROM ${out}_w),
+         |$out AS (
+         |  SELECT w.i AS pos, round(w.w / n.nrm, 12) AS loading
+         |  FROM ${out}_w w CROSS JOIN ${out}_n n)""".stripMargin
+    val rounds = (1 to Iters).map(k => matvec(s"v${k - 1}", s"v$k"))
+      .mkString(",\n")
+    s"""WITH samp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT $SampleN),
+       |nn AS (SELECT COUNT(*) AS n FROM samp),
+       |elems AS (
+       |  SELECT vec_id, CAST(i.i - 1 AS INT) AS pos,
+       |    CAST(embedding[i.i] AS DOUBLE) AS x
+       |  FROM samp CROSS JOIN range(1, ${Dim + 1}) i(i)),
+       |mu AS (
+       |  SELECT pos, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / nn.n AS mu
+       |  FROM elems CROSS JOIN nn GROUP BY pos, nn.n),
+       |cent AS (
+       |  SELECT e.vec_id, e.pos, e.x - m.mu AS d
+       |  FROM elems e JOIN mu m ON e.pos = m.pos),
+       |cov AS (
+       |  SELECT a.pos AS i, b.pos AS j,
+       |    CAST(SUM(CAST(a.d * b.d AS DECIMAL(28,12))) AS DOUBLE) / (nn.n - 1) AS c
+       |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id CROSS JOIN nn
+       |  GROUP BY a.pos, b.pos, nn.n),
+       |v0 AS (
+       |  SELECT CAST(i.i AS INT) AS pos, CAST(0.125 AS DOUBLE) AS loading
+       |  FROM range(0, $Dim) i(i)),
+       |$rounds
+       |SELECT v.pos, v.loading, round(n.nrm, 9) AS eig
+       |FROM v$Iters v CROSS JOIN v${Iters}_n n
+       |ORDER BY v.pos ASC NULLS LAST""".stripMargin
+  }
+
+  /** q101_pca_project: the corpus-wide APPLICATION of the component —
+    * every embedding's projection onto the top direction, aggregated per
+    * label (n + 9-dp mean). This is the map-only half: the 64-float
+    * component is one broadcast row, the projection is the native
+    * `dot_product` expression inside codegen, and only the label-keyed
+    * aggregate exchanges (map-side combined). The "all-but-the-top"
+    * de-biasing pass subtracts `p·v` from each embedding in exactly this
+    * shape. Projections truncate to DECIMAL(28,12) before the
+    * order-independent per-label sum. */
+  private def q101project(s: SparkSession, dir: String): DataFrame = {
+    graft.Graft.register(s)
+    val e = Tables.t(s, dir, "embeddings")
+    val samp = e.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+        col("vec_id").asc_nulls_last)
+      .limit(SampleN)
+    val comp = topComponent(s, samp)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("loading")))).as("pl"))
+      .select(expr("transform(pl, x -> cast(x.loading as float))").as("v"))
+    e.join(broadcast(comp), lit(true))
+      .select(col("label"),
+        expr("dot_product(embedding, v)").cast("decimal(28,12)").as("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 9).as("mean_proj"))
+      .orderBy(col("label").asc_nulls_last)
+  }
+
+  private val q101projectSql = {
+    val inner = q101Sql.stripPrefix("WITH ").stripSuffix(
+      s"""SELECT v.pos, v.loading, round(n.nrm, 9) AS eig
+         |FROM v$Iters v CROSS JOIN v${Iters}_n n
+         |ORDER BY v.pos ASC NULLS LAST""".stripMargin)
+    s"""WITH ${inner.trim.stripSuffix(",")},
+       |comp AS (
+       |  SELECT list(CAST(loading AS FLOAT) ORDER BY pos ASC) AS v FROM v$Iters),
+       |proj AS (
+       |  SELECT e.label,
+       |    CAST(${VectorSql.dot("e.embedding", "c.v")} AS DECIMAL(28,12)) AS p
+       |  FROM embeddings e CROSS JOIN comp c)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 9) AS mean_proj
+       |FROM proj GROUP BY label ORDER BY label ASC NULLS LAST""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q101_pca_power", q101, Some(q101Sql)),
+    QueryDef("q101_pca_project", q101project, Some(q101projectSql)))
+}
