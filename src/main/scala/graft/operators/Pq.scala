@@ -133,15 +133,17 @@ object Pq {
       .select(col("vec_id"),
         flatten(expr("transform(sc, x -> x.c_emb)")).as("embedding"))
 
-  private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+  private def trainedOn(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
     val samp = e
       .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
         col("vec_id").asc_nulls_last)
       .limit(SampleN)
-    val cb = trainCodebook(s, samp)
-    (e, cb)
+    (e, trainCodebook(s, samp))
   }
+
+  private def trained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    trainedOn(s,
+      Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
 
   /** q98_pq_codes: the encoded corpus aggregated per (sub, code) — the
     * driver-checkable digest of the whole train+encode pipeline (the
@@ -167,6 +169,49 @@ object Pq {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     Similarity.annBruteTopK(s, recon, q, K)
   }
+
+  /** PUBLIC API — IVF+PQ composition (the production ANN layout at
+    * 100 TB): the q29 coarse quantizer restricts each query to its
+    * `nProbe` posting lists, and WITHIN those lists candidates rank by
+    * ADC against the PQ reconstruction. Postings store 6-byte codes
+    * instead of 256-byte vectors and only nProbe/nCentroids of them are
+    * touched per query — compressed AND sub-linear, where q98_ann_pq
+    * alone scans everything and q29_ann_ivf alone stores raw vectors.
+    * Both halves are independently driver-verified (the candidate sets
+    * ARE q29_ivf_cands's — PQ changes only the ranking inside them, and
+    * the ADC arithmetic is q98_ann_pq's); PqSpec proves this composition
+    * equals its recomposition from those halves, plus a recall floor. */
+  def annIvfPqTopK(s: SparkSession, corpus: DataFrame, queryPred:
+      org.apache.spark.sql.Column, k: Int = K, nCentroids: Int = 16,
+      nProbe: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val cent = Similarity.trainIvfCentroids(s,
+      Similarity.trainSample(e, nCentroids), nCentroids)
+    val assigned = Similarity.assignToCentroids(s, e, cent)
+      .select(col("vec_id"), col("c_id"))
+    val (_, cb) = trainedOn(s, e)
+    val recon = reconstruct(encode(e, cb), cb)
+    val probes = Similarity.probeLists(s, cent, e.where(queryPred), nProbe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc_nulls_last, col("vec_id").asc_nulls_last)
+    assigned.join(recon, "vec_id")
+      .join(broadcast(probes), Seq("c_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorOps.cosineFast(s, "q_emb", "embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 9).as("cos"))
+      .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
+  }
+
+  /** q102: the composed index over the fixture queries (no SQL oracle —
+    * both halves are oracle-checked separately, see [[annIvfPqTopK]];
+    * equality to the recomposition + recall floor proven in PqSpec). */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    annIvfPqTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
   // ---- chained-CTE SQL replay (the kmeansChainSql discipline, keyed
   // ---- by subspace so 8 codebooks train in the same CTE rounds) ------
@@ -248,5 +293,6 @@ object Pq {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q98_pq_codes", q98codes, Some(q98codesSql)),
-    QueryDef("q98_ann_pq", q98ann, Some(q98annSql)))
+    QueryDef("q98_ann_pq", q98ann, Some(q98annSql)),
+    QueryDef("q102_ann_ivfpq", q102, None))
 }

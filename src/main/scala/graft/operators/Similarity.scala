@@ -256,7 +256,7 @@ object Similarity {
     * smallest-id tie-break; c_id is unique per group, so the comparison
     * never reaches the trailing payload fields — deterministic without
     * any first(). */
-  private def assignToCentroids(s: SparkSession, e: DataFrame,
+  private[operators] def assignToCentroids(s: SparkSession, e: DataFrame,
       cent: DataFrame): DataFrame =
     assignWithSim(s, e, cent).drop("c_sim")
 
@@ -359,7 +359,7 @@ object Similarity {
   /** The nProbe nearest centroid lists per query: (q_id, q_emb, c_id),
     * ties broken by smallest c_id (shared by ranking and the candidate
     * oracle so both probe identical lists). */
-  private def probeLists(s: SparkSession, cent: DataFrame,
+  private[operators] def probeLists(s: SparkSession, cent: DataFrame,
       queryVecs: DataFrame, nProbe: Int): DataFrame = {
     val queries = queryVecs
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

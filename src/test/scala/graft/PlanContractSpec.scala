@@ -62,7 +62,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q92_heavy_hitters", "q92_hitters_exact", "q93_threshold_alerts",
     "q94_tpch_q21", "q95_incremental_dedup", "q96_hrw_shards",
     "q97_phash_dedup", "q98_pq_codes", "q98_ann_pq", "q99_tpch_q2",
-    "q100_notin_naaj", "q101_pca_power", "q101_pca_project")
+    "q100_notin_naaj", "q101_pca_power", "q101_pca_project",
+    "q102_ann_ivfpq")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

@@ -56,6 +56,45 @@ class PqSpec extends AnyFunSuite {
     assert(recon.select(size(col("embedding"))).distinct().head().getInt(0) == 64)
   }
 
+  test("ivf+pq composition: results come from probed lists, scored by ADC") {
+    val corpus = Tables.t(spark, sf, "embeddings")
+    val got = SparkEntry.queries("q102_ann_ivfpq")(spark, sf).collect()
+    assert(got.nonEmpty)
+    // (1) every result pair must lie inside the coarse quantizer's
+    // probed candidate lists — the same candidate sets q29_ivf_cands
+    // digests for the driver (PQ only re-ranks within them)
+    val candAgg = operators.Similarity
+      .annIvfCandidates(spark, corpus, col("vec_id") < 10).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("min_cand"), r.getAs[Long]("max_cand"), r.getAs[Long]("n_cands"))).toMap
+    got.foreach { r =>
+      val (mn, mx, _) = candAgg(r.getAs[Long]("q_id"))
+      val v = r.getAs[Long]("vec_id")
+      assert(v >= mn && v <= mx,
+        s"result $v outside the candidate id range of query ${r.get(0)}")
+    }
+    // (2) the ADC scores are the PQ-reconstruction cosines, bit-exact
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val cb = operators.Pq.trainCodebook(spark,
+      e.orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+        col("vec_id").asc_nulls_last).limit(1280))
+    val recon = operators.Pq.reconstruct(operators.Pq.encode(e, cb), cb)
+    val adc = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(recon.withColumnRenamed("vec_id", "cand"), expr("cand <> q_id"))
+      .select(col("q_id"), col("cand"), round(graft.functions.VectorOps
+        .cosineFast(spark, "q_emb", "embedding"), 9).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      assert(adc(key) == r.getAs[Double]("cos"),
+        s"ADC score mismatch for $key: ${adc(key)} vs ${r.getAs[Double]("cos")}")
+    }
+    // (3) deterministic
+    val again = SparkEntry.queries("q102_ann_ivfpq")(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("retraining is deterministic (codebook bit-identical)") {
     val e = Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
