@@ -58,6 +58,8 @@ object Registry {
       operators.NgramLm.defs ++
       operators.Dsir.defs ++
       operators.Analytics.defs ++
+      operators.TpchFull.defs ++
+      operators.Hybrid.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -349,7 +349,39 @@ object Analytics {
       |GROUP BY s_name
       |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST""".stripMargin
 
+  /** Q119: CUBE over (returnflag, linestatus) — all four grouping-set
+    * levels in ONE pass (Spark expands the sets map-side and shares one
+    * exchange; a UNION ALL of four GROUP BYs would scan and shuffle 4×).
+    * GROUPING() markers disambiguate "NULL because rolled up" from a
+    * NULL data value — projected as g_rf/g_ls and leading the ORDER BY
+    * so both engines order the levels identically. Completes the q10
+    * rollup family (rollup ⊂ cube ⊂ grouping sets). */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        graft.Canon.dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"),
+        col("g_ls"), col("n"), col("sum_qty"))
+      .orderBy(col("g_rf").asc_nulls_last, col("g_ls").asc_nulls_last,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q119Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf ASC NULLS LAST, g_ls ASC NULLS LAST,
+      |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q119_cube", q119, Some(q119Sql)),
     QueryDef("q39_percentiles", q39, Some(q39Sql)),
     QueryDef("q40_pivot", q40, Some(q40Sql)),
     QueryDef("q41_salted_agg", q41, Some(q41Sql)),

@@ -37,16 +37,21 @@ class ImageDedupSpec extends AnyFunSuite {
 
   test("banded pairing equals brute force (pigeonhole losslessness)") {
     import spark.implicits._
+    // unpersist in finally: a cache left behind would be silently
+    // substituted (CacheManager plan matching) into every later query
+    // over the same subplan — q97's plan-contract shape included
     val imgs = ImageDedup.imageTable(spark, sf).cache()
-    val got = ImageDedup.phashPairs(spark, imgs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val bits = imgs.map(r => (r.media_id, ImageDedup.dhashBits(r.payload)))
-      .collect()
-    val want = (for {
-      (a, ab) <- bits; (b, bb) <- bits if a < b
-      d = ab.zip(bb).count { case (x, y) => x != y } if d <= 7
-    } yield (a, b, d.toLong)).toSet
-    assert(got == want, s"missed=${want.diff(got)} spurious=${got.diff(want)}")
+    try {
+      val got = ImageDedup.phashPairs(spark, imgs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bits = imgs.map(r => (r.media_id, ImageDedup.dhashBits(r.payload)))
+        .collect()
+      val want = (for {
+        (a, ab) <- bits; (b, bb) <- bits if a < b
+        d = ab.zip(bb).count { case (x, y) => x != y } if d <= 7
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"missed=${want.diff(got)} spurious=${got.diff(want)}")
+    } finally imgs.unpersist(blocking = true)
   }
 
   test("every planted variant pair is recovered") {

@@ -63,7 +63,11 @@ class PlanContractSpec extends AnyFunSuite {
     "q94_tpch_q21", "q95_incremental_dedup", "q96_hrw_shards",
     "q97_phash_dedup", "q98_pq_codes", "q98_ann_pq", "q99_tpch_q2",
     "q100_notin_naaj", "q101_pca_power", "q101_pca_project",
-    "q102_ann_ivfpq")
+    "q102_ann_ivfpq", "q103_tpch_q4", "q104_tpch_q6", "q105_tpch_q8",
+    "q106_tpch_q9", "q107_tpch_q10", "q108_tpch_q11", "q109_tpch_q12",
+    "q110_tpch_q13", "q111_tpch_q14", "q112_tpch_q15", "q113_tpch_q16",
+    "q114_tpch_q17", "q115_tpch_q19", "q116_tpch_q20", "q117_tpch_q22",
+    "q118_rrf_fusion", "q119_cube", "q120_triangles")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
@@ -90,6 +94,11 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   private def shapeOf(df: DataFrame): Shape = {
+    // contracts describe the COLD plan: a cached DataFrame left behind
+    // by an earlier suite would be silently substituted into any query
+    // sharing its subplan (CacheManager plan matching), collapsing its
+    // codegen spans and failing the diff depending on suite order
+    df.sparkSession.catalog.clearCache()
     // collect() executes the DataFrame's OWN QueryExecution (a noop
     // write would build a separate command QE and leave this one
     // unfinalized), so the walk below sees the post-AQE final plan
