@@ -60,6 +60,8 @@ object Registry {
       operators.Analytics.defs ++
       operators.TpchFull.defs ++
       operators.Hybrid.defs ++
+      operators.Features.defs ++
+      operators.Canonical.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -67,7 +67,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q106_tpch_q9", "q107_tpch_q10", "q108_tpch_q11", "q109_tpch_q12",
     "q110_tpch_q13", "q111_tpch_q14", "q112_tpch_q15", "q113_tpch_q16",
     "q114_tpch_q17", "q115_tpch_q19", "q116_tpch_q20", "q117_tpch_q22",
-    "q118_rrf_fusion", "q119_cube", "q120_triangles")
+    "q118_rrf_fusion", "q119_cube", "q120_triangles",
+    "q121_standardize", "q122_entity_canonical")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
