@@ -62,6 +62,7 @@ object Registry {
       operators.Hybrid.defs ++
       operators.Features.defs ++
       operators.Canonical.defs ++
+      operators.RobustStats.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

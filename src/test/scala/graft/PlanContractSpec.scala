@@ -68,7 +68,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q110_tpch_q13", "q111_tpch_q14", "q112_tpch_q15", "q113_tpch_q16",
     "q114_tpch_q17", "q115_tpch_q19", "q116_tpch_q20", "q117_tpch_q22",
     "q118_rrf_fusion", "q119_cube", "q120_triangles",
-    "q121_standardize", "q122_entity_canonical")
+    "q121_standardize", "q122_entity_canonical", "q123_hist_quantiles",
+    "q124_winsorize")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
