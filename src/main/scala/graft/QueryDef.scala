@@ -63,6 +63,8 @@ object Registry {
       operators.Features.defs ++
       operators.Canonical.defs ++
       operators.RobustStats.defs ++
+      operators.Sampling.defs ++
+      operators.Skyline.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -145,7 +145,39 @@ object RobustStats {
       |GROUP BY b.g
       |ORDER BY g ASC NULLS LAST""".stripMargin
 
+  // ------------------------------------------------------------- q126
+  /** Q126: quantile (rank) transform — sklearn's QuantileTransformer as
+    * a window pass: x → percent_rank(x), which maps any distribution to
+    * uniform[0,1]. The entry verifies the DEFINING property instead of
+    * dumping 600k transformed rows: bucketing the transformed values
+    * into deciles per group must give ~10% occupancy each — the decile
+    * histogram is the output. percent_rank is RANK-based, so ties in x
+    * share a value and both engines bucket identically. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("x").asc_nulls_last)
+    Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("decile",
+        least(floor(col("pr") * 10).cast("int"), lit(9)))
+      .groupBy(col("g"), col("decile"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("g").asc_nulls_last, col("decile").asc_nulls_last)
+  }
+
+  private val q126Sql =
+    """SELECT g, LEAST(CAST(FLOOR(pr * 10) AS INTEGER), 9) AS decile,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT l_returnflag AS g,
+      |    PERCENT_RANK() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ASC) AS pr
+      |  FROM lineitem)
+      |GROUP BY 1, 2
+      |ORDER BY g ASC NULLS LAST, decile ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q123_hist_quantiles", q123, Some(q123Sql)),
-    QueryDef("q124_winsorize", q124, Some(q124Sql)))
+    QueryDef("q124_winsorize", q124, Some(q124Sql)),
+    QueryDef("q126_quantile_transform", q126, Some(q126Sql)))
 }

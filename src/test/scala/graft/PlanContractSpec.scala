@@ -69,7 +69,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q114_tpch_q17", "q115_tpch_q19", "q116_tpch_q20", "q117_tpch_q22",
     "q118_rrf_fusion", "q119_cube", "q120_triangles",
     "q121_standardize", "q122_entity_canonical", "q123_hist_quantiles",
-    "q124_winsorize")
+    "q124_winsorize", "q125_weighted_sample", "q126_quantile_transform",
+    "q127_skyline")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
