@@ -65,6 +65,9 @@ object Registry {
       operators.RobustStats.defs ++
       operators.Sampling.defs ++
       operators.Skyline.defs ++
+      operators.Incremental.defs ++
+      operators.DataContract.defs ++
+      operators.Resample.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
