@@ -68,6 +68,8 @@ object Registry {
       operators.Incremental.defs ++
       operators.DataContract.defs ++
       operators.Resample.defs ++
+      operators.Transitions.defs ++
+      operators.LogReg.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
