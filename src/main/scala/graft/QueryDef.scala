@@ -70,6 +70,8 @@ object Registry {
       operators.Resample.defs ++
       operators.Transitions.defs ++
       operators.LogReg.defs ++
+      operators.KCore.defs ++
+      operators.ItemSim.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8: k-core decomposition — iterative peeling (remove nodes of
+  * degree < k, repeat) until the k-core remains. Completes the graph
+  * fixpoint family: q74 PageRank (value iteration), q55 connected
+  * components (label propagation), q120 triangles (one-shot join) —
+  * peeling is the DATA-DEPENDENT-workset class: each round shrinks the
+  * edge set, so per-round cost decreases (unlike PageRank's constant
+  * rounds).
+  *
+  * Round = one node-keyed degree aggregate + two semi joins filtering
+  * the edge list; `localCheckpoint` cuts lineage per round exactly like
+  * the other fixpoints (reliable-checkpoint note in
+  * [[Clusters.connectedComponents]] applies).
+  *
+  * Determinism/oracle: a FIXED number of peel rounds (8 — convergence
+  * on every fixture scale is asserted in KCoreSpec, and a converged
+  * round is idempotent so extra rounds are harmless) with the
+  * per-round (nodes, edges) trajectory as output — the DuckDB oracle
+  * replays the same 8 rounds as chained CTEs. Counting the trajectory
+  * rather than dumping the core keeps the output scale-independent
+  * and makes the CONVERGENCE SHAPE itself the verified artifact. */
+object KCore {
+
+  private val K = 4
+  private val Rounds = 8
+
+  /** PUBLIC API — peel to the k-core; returns the surviving undirected
+    * edge list (u < v). */
+  def kcoreEdges(edges: DataFrame, k: Int, rounds: Int = 25): DataFrame = {
+    var und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = und.select(col("u").as("id"))
+        .unionAll(und.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+      und = und
+        .join(deg.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(deg.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    und
+  }
+
+  /** Q133: the 8-round peel trajectory of the 1996 co-purchase graph
+    * at k=4: (round, n_nodes, n_edges) per round. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val edges0 = li.select(col("k"), col("l_partkey").as("src"))
+      .join(li.select(col("k"), col("l_partkey").as("dst")), "k")
+      .where(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    var und = edges0
+      .select(col("src").as("u"), col("dst").as("v")).distinct()
+      .localCheckpoint()
+    val traj = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    for (r <- 1 to Rounds) {
+      val deg = und.select(col("u").as("id"))
+        .unionAll(und.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= K)
+      und = und
+        .join(deg.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(deg.select(col("id").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val nEdges = und.count()
+      val nNodes = und.select(col("u").as("id"))
+        .unionAll(und.select(col("v").as("id"))).distinct().count()
+      traj += ((r, nNodes, nEdges))
+    }
+    import s.implicits._
+    traj.toSeq.toDF("round", "n_nodes", "n_edges")
+      .orderBy(col("round").asc_nulls_last)
+  }
+
+  private val q133Sql = {
+    // MATERIALIZED: each round references its predecessor three times
+    // (degree scan + two IN subqueries) — un-materialized CTEs would
+    // re-evaluate the whole chain 3^rounds times
+    def round(prev: String, out: String): String =
+      s"""d_$out AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM (
+         |  SELECT u AS id FROM $prev UNION ALL SELECT v AS id FROM $prev)
+         |  GROUP BY id HAVING COUNT(*) >= $K),
+         |$out AS MATERIALIZED (SELECT u, v FROM $prev
+         |  WHERE u IN (SELECT id FROM d_$out)
+         |    AND v IN (SELECT id FROM d_$out))""".stripMargin
+    val rounds = (1 to Rounds)
+      .map(r => round(if (r == 1) "e0" else s"e${r - 1}", s"e$r"))
+      .mkString(",\n")
+    val stats = (1 to Rounds).map(r =>
+      s"""SELECT $r AS round,
+         |  (SELECT COUNT(*) FROM (SELECT u AS id FROM e$r
+         |    UNION SELECT v FROM e$r) x) AS n_nodes,
+         |  (SELECT COUNT(*) FROM e$r) AS n_edges""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS k, l_partkey FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b ON a.k = b.k WHERE a.l_partkey < b.l_partkey),
+       |$rounds
+       |SELECT round, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(n_edges AS BIGINT) AS n_edges
+       |FROM ($stats)
+       |ORDER BY round ASC NULLS LAST""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q133_kcore", q133, Some(q133Sql)))
+}
