@@ -72,6 +72,8 @@ object Registry {
       operators.LogReg.defs ++
       operators.KCore.defs ++
       operators.ItemSim.defs ++
+      operators.Scd.defs ++
+      operators.Experiment.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
