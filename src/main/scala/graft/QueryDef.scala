@@ -74,6 +74,7 @@ object Registry {
       operators.ItemSim.defs ++
       operators.Scd.defs ++
       operators.Experiment.defs ++
+      operators.Novelty.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++
