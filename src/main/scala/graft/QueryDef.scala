@@ -75,6 +75,7 @@ object Registry {
       operators.Scd.defs ++
       operators.Experiment.defs ++
       operators.Novelty.defs ++
+      operators.Diversity.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

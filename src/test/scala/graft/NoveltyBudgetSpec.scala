@@ -18,6 +18,17 @@ class NoveltyBudgetSpec extends AnyFunSuite {
     assert(rows.exists(_.getDouble(3) == 1.0), "no fully-novel document")
   }
 
+  test("q140: entropy bounded by ln(vocab); Gini a valid concentration index") {
+    val rows = SparkEntry.queries("q140_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, h, gini) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(h > 0 && h <= math.log(vocab.toDouble) + 1e-9,
+        s"entropy out of [0, ln V]: $r")
+      assert(gini >= 0 && gini < 1.0, s"gini out of range: $r")
+    }
+  }
+
   test("q139: selection is the maximal greedy prefix under the budget") {
     val rows = SparkEntry.queries("q139_budget_select")(spark, sf).collect()
     assert(rows.nonEmpty)

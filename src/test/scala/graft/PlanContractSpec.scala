@@ -73,7 +73,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q127_skyline", "q128_delta_agg", "q129_data_contract",
     "q130_resample_ffill", "q131_transitions", "q132_logreg_train",
     "q133_kcore", "q134_item_sim", "q135_scd2", "q136_cuped",
-    "q137_attribution", "q138_novelty", "q139_budget_select")
+    "q137_attribution", "q138_novelty", "q139_budget_select",
+    "q140_diversity")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
