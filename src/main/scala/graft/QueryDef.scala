@@ -76,6 +76,7 @@ object Registry {
       operators.Experiment.defs ++
       operators.Novelty.defs ++
       operators.Diversity.defs ++
+      operators.Twap.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q141 (TWAP), q142 (k-anonymity), q143 (MoM growth). */
+class ReportingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q141: TWAP lies inside the observed value range; weights cover the span") {
+    val rows = SparkEntry.queries("q141_twap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rng = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = rng(r.getString(0))
+      val twap = r.getDouble(2)
+      assert(twap >= lo && twap <= hi, s"TWAP outside value range: $r")
+    }
+  }
+
+  test("q142: class histogram conserves the customer count") {
+    val rows = SparkEntry.queries("q142_k_anonymity")(spark, sf).collect()
+    val total = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val customers = Tables.t(spark, sf, "customer").count()
+    assert(total == customers, s"histogram covers $total of $customers rows")
+    // exposed rows are exactly the sub-k classes' members
+    rows.foreach { r =>
+      val (size, n, exposed) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(exposed == (if (size < 5) size * n else 0L), s"exposure law: $r")
+    }
+  }
+
+  test("q143: MoM deltas telescope back to the month-12 revenue") {
+    val rows = SparkEntry.queries("q143_mom_growth")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (nation, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      // first month's delta is 0 by the COALESCE convention
+      assert(sorted.head.getDouble(3) == 0.0, s"$nation first-month delta")
+      // telescoping: first revenue + sum of later deltas = last revenue
+      val rebuilt = sorted.head.getDouble(2) + sorted.tail.map(_.getDouble(3)).sum
+      assert(math.abs(rebuilt - sorted.last.getDouble(2)) < 0.05,
+        s"$nation deltas do not telescope: $rebuilt vs ${sorted.last.getDouble(2)}")
+    }
+  }
+}
