@@ -77,6 +77,7 @@ object Registry {
       operators.Novelty.defs ++
       operators.Diversity.defs ++
       operators.Twap.defs ++
+      operators.Conversion.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -7,6 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class ReportingSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("q144: conversion rate valid; latency percentiles ordered and positive") {
+    val r = SparkEntry.queries("q144_conversion_lag")(spark, sf).collect()(0)
+    val (nS, nC, rate) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nC <= nS && rate > 0 && rate <= 1.0, s"bad conversion row $r")
+    val (p50, p90) = (r.getDouble(3), r.getDouble(4))
+    assert(p50 > 0 && p90 >= p50, s"percentiles disordered: $r")
+  }
+
   test("q141: TWAP lies inside the observed value range; weights cover the span") {
     val rows = SparkEntry.queries("q141_twap")(spark, sf).collect()
     assert(rows.nonEmpty)
