@@ -78,6 +78,7 @@ object Registry {
       operators.Diversity.defs ++
       operators.Twap.defs ++
       operators.Conversion.defs ++
+      operators.Extraction.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -75,7 +75,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q133_kcore", "q134_item_sim", "q135_scd2", "q136_cuped",
     "q137_attribution", "q138_novelty", "q139_budget_select",
     "q140_diversity", "q141_twap", "q142_k_anonymity", "q143_mom_growth",
-    "q144_conversion_lag")
+    "q144_conversion_lag", "q145_span_report")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

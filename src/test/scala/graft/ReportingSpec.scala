@@ -15,6 +15,23 @@ class ReportingSpec extends AnyFunSuite {
     assert(p50 > 0 && p90 >= p50, s"percentiles disordered: $r")
   }
 
+  test("q145: extractors count planted spans exactly; fixture report is clean") {
+    import spark.implicits._
+    // fixture corpus carries no identifier-like spans: all-zero is the
+    // CORRECT report, so prove the extractors on planted text
+    val fixture = SparkEntry.queries("q145_span_report")(spark, sf).collect()
+    assert(fixture.forall(r => r.getLong(2) == 0 && r.getLong(3) == 0))
+    val planted = Seq(
+      ("a", "contact bob@mail.com or sue@web.org today"),
+      ("a", "see https://example.com/x and id 1234567"),
+      ("b", "no identifiers here at all")).toDF("source", "text")
+    val got = graft.operators.Extraction.spanReport(planted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((2L, 1L, 1L)), s"planted counts wrong: $got")
+    assert(got("b") == ((0L, 0L, 0L)))
+  }
+
   test("q141: TWAP lies inside the observed value range; weights cover the span") {
     val rows = SparkEntry.queries("q141_twap")(spark, sf).collect()
     assert(rows.nonEmpty)
