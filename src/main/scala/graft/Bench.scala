@@ -39,6 +39,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // (trigger count, median per-batch sec) of each streaming query's
+    // last timed run: the honesty annotation — a throttled-trigger
+    // headline (triggers × batch) must not be misread as engine cost
+    val streamDetail = scala.collection.mutable.Map[String, (Int, Double)]()
+
     def once(name: String): Double = {
       graft.streaming.StreamMetrics.drain() // clear stale state
       val t0 = System.nanoTime()
@@ -49,6 +54,8 @@ object Bench {
         return -1.0
       }
       val wall = (System.nanoTime() - t0) / 1e9
+      graft.streaming.StreamMetrics.peekDetail()
+        .foreach(d => streamDetail(name) = d)
       // Streaming queries report steady-state processing time (summed
       // micro-batch triggerExecution) instead of wall clock: trigger
       // scheduling waits made q51 swing >2x run-to-run with no plan
@@ -73,12 +80,66 @@ object Bench {
         name -> times(times.size / 2)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // q95's split timing (see IncrementalDedup.baseDeltaSplit): the
+    // registry entry re-times build+probe fused; production pays build
+    // once per corpus version and probe per delta batch. Both rows land
+    // on the board so the per-batch claim has its own number.
+    val extraResults: Seq[(String, Double)] =
+      if (only.forall(s => s.contains("q95_index_build") || s.contains("q95_probe_only"))) {
+        import graft.operators.IncrementalDedup
+        val (base, delta) = IncrementalDedup
+          .baseDeltaSplit(Tables.t(spark, sfDir, "documents"))
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+        try {
+          def freshBuild(): String = {
+            val d = java.nio.file.Files
+              .createTempDirectory("graft_bench_idx").toString
+            IncrementalDedup.buildIndex(base, d); d
+          }
+          freshBuild() // warm-up
+          val bTimes = (1 to runs).map(_ => timed(freshBuild()))
+          val idx = freshBuild() // the persisted index the probes hit
+          def probe(): Unit = IncrementalDedup.probeIndex(spark, delta, idx)
+            .write.format("noop").mode("overwrite").save()
+          probe() // warm-up
+          val pTimes = (1 to runs).map(_ => timed(probe()))
+          Seq("q95_index_build" -> median(bTimes),
+            "q95_probe_only" -> median(pTimes))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] q95 split failed: ${e.getMessage}")
+          Seq("q95_index_build" -> -1.0, "q95_probe_only" -> -1.0)
+        }
+      } else Seq.empty
+
+    val all = results ++ extraResults
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val (ok, bad) = results.partition(_._2 >= 0)
+    val (ok, bad) = all.partition(_._2 >= 0)
     val total = ok.map(_._2).sum
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val streaming = streamDetail.toSeq.sortBy(_._1).map { case (k, (n, m)) =>
+      "\"" + k + s"""":{"triggers":$n,"batch_median_sec":$m}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}"""
+    println(line)
+    // the COMPLETE machine-readable board (the driver artifact may
+    // truncate long stdout): target/bench_board.json for tooling plus a
+    // TRACKED copy at BENCH_BOARD.json (target/ is gitignored) so every
+    // round's full board is diffable in git history
+    Seq("target/bench_board.json", "BENCH_BOARD.json").foreach { p =>
+      try {
+        val out = java.nio.file.Paths.get(p)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(out, line + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] board write to $p failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

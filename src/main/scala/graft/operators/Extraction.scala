@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * — map-side combined per source. Output is |sources| rows. */
 object Extraction {
 
-  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-  private val UrlRe = "https?://[a-z0-9./-]+"
+  // Mixed-case classes spelled out (not (?i)): Bob@Mail.com and
+  // HTTP://… count too, and the literal ranges keep Java-regex/RE2
+  // parity trivially (a flag prefix has subtly different scoping rules
+  // across engines; a character class cannot).
+  private val EmailRe = "[a-zA-Z0-9]+@[a-zA-Z0-9]+\\.[a-zA-Z]+"
+  private val UrlRe = "[hH][tT][tT][pP][sS]?://[a-zA-Z0-9./-]+"
   private val DigitRe = "[0-9]{6,}"
 
   /** PUBLIC API — per-group span-extraction report over (group, text)

@@ -30,14 +30,24 @@ object KCore {
   private val Rounds = 8
 
   /** PUBLIC API — peel to the k-core; returns the surviving undirected
-    * edge list (u < v). */
-  def kcoreEdges(edges: DataFrame, k: Int, rounds: Int = 25): DataFrame = {
+    * edge list (u < v). Peels until the edge count is STABLE (a
+    * converged round is a fixpoint: no node below k remains), so the
+    * result is a true k-core on any graph shape — a pendant chain
+    * longer than a fixed round budget cannot leak through. `rounds` is
+    * a safety cap only (each round removes ≥1 node before convergence,
+    * so it is never the binding limit on graphs with < rounds peelable
+    * layers); the per-round count is one cheap job over the
+    * checkpointed frame, the same materialization q133 already pays. */
+  def kcoreEdges(edges: DataFrame, k: Int, rounds: Int = 1000): DataFrame = {
     var und = edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var prev = und.count()
+    var stable = false
+    var r = 0
+    while (!stable && r < rounds) {
       val deg = und.select(col("u").as("id"))
         .unionAll(und.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -47,6 +57,10 @@ object KCore {
         .join(deg.select(col("id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
+      val cur = und.count()
+      stable = cur == prev
+      prev = cur
+      r += 1
     }
     und
   }

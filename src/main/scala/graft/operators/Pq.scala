@@ -207,11 +207,52 @@ object Pq {
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
-  /** q102: the composed index over the fixture queries (no SQL oracle —
-    * both halves are oracle-checked separately, see [[annIvfPqTopK]];
-    * equality to the recomposition + recall floor proven in PqSpec). */
+  // q102's IVF half: annIvfPqTopK's defaults — MUST match both the Spark
+  // call below and Similarity's Centroids/NProbe/TrainIters so the
+  // composed oracle replays the same quantizer as q29_ivf_cands.
+  private val IvfCentroids = 16
+  private val IvfProbe = 10
+  private val IvfIters = 2
+
+  /** q102: the composed index over the fixture queries. Round-9: FULLY
+    * SQL-replayable — the oracle chains [[Similarity.kmeansChainSql]]
+    * (coarse quantizer + corpus assignment, the bit-exact chain behind
+    * q29_ivf_cands) with the `pq`-prefixed [[pqChainSql]] (codebooks +
+    * codes, the chain behind q98_pq_codes), reconstructs, probes, and
+    * ranks by the same left-to-right double cosine as q98_ann_pq. Every
+    * link was already individually driver-green bit-exact; the
+    * composition adds no new arithmetic, only an equi-join restriction
+    * of the candidate set, so the hash compare holds end-to-end. */
   private def q102(s: SparkSession, dir: String): DataFrame =
-    annIvfPqTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
+    annIvfPqTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10,
+      k = K, nCentroids = IvfCentroids, nProbe = IvfProbe)
+
+  private def q102Sql: String =
+    s"""WITH ${Similarity.kmeansChainSql(IvfCentroids, IvfIters)},
+       |${pqChainSql("pq")},
+       |recon AS (
+       |  SELECT pqcodes.vec_id, flatten(list(c.c_emb ORDER BY pqcodes.sub ASC)) AS embedding
+       |  FROM pqcodes JOIN pqcent$Iters c ON pqcodes.sub = c.sub AND pqcodes.code = c.c_id
+       |  GROUP BY pqcodes.vec_id),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${VectorSql.cosine("c.c_emb", "q.q_emb")} DESC NULLS LAST,
+       |                 c.c_id ASC NULLS LAST) AS qrank
+       |    FROM q CROSS JOIN cent$IvfIters c) WHERE qrank <= $IvfProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id, ${VectorSql.cosine("p.q_emb", "r.embedding")} AS cos
+       |  FROM afull a
+       |    JOIN probes p ON a.c_id = p.c_id AND a.vec_id <> p.q_id
+       |    JOIN recon r ON a.vec_id = r.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, round(cos, 9) AS cos FROM ranked WHERE rank <= $K
+       |ORDER BY q_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 
   // ---- chained-CTE SQL replay (the kmeansChainSql discipline, keyed
   // ---- by subspace so 8 codebooks train in the same CTE rounds) ------
@@ -221,7 +262,12 @@ object Pq {
       s"(CAST($a[i.i] AS DOUBLE) - CAST($b[i.i] AS DOUBLE))) " +
       s"FROM range(1, ${SubDim + 1}) i(i))"
 
-  private def pqChainSql: String = {
+  /** The WITH-body of the full PQ build (sample → seeds → Lloyd rounds
+    * per subspace → full-corpus encode). `p` prefixes every CTE name so
+    * the chain can coexist with [[Similarity.kmeansChainSql]]'s CTEs in
+    * one statement (q102's composed oracle); defines `${p}emb`,
+    * `${p}codes` and `${p}cent$Iters`. */
+  private def pqChainSql(p: String = ""): String = {
     val seedOrder = "md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC"
     def subCte(src: String, out: String) =
       s"""$out AS (
@@ -250,32 +296,32 @@ object Pq {
          |  SELECT p.sub, p.c_id, COALESCE(l.new_emb, p.c_emb) AS c_emb
          |  FROM $prev p LEFT JOIN ${out}_l l ON p.sub = l.sub AND p.c_id = l.c_id)""".stripMargin
     val rounds = (0 until Iters).map { r =>
-      assignCte("ssub", s"cent$r", s"a$r") + ",\n" +
-        meanCte(s"a$r", s"cent$r", s"cent${r + 1}")
+      assignCte(s"${p}ssub", s"${p}cent$r", s"${p}a$r") + ",\n" +
+        meanCte(s"${p}a$r", s"${p}cent$r", s"${p}cent${r + 1}")
     }.mkString(",\n")
-    s"""emb AS (SELECT vec_id, embedding FROM embeddings),
-       |samp AS (SELECT vec_id, embedding FROM emb ORDER BY $seedOrder LIMIT $SampleN),
-       |${subCte("emb", "sub")},
-       |${subCte("samp", "ssub")},
-       |seed AS (
+    s"""${p}emb AS (SELECT vec_id, embedding FROM embeddings),
+       |${p}samp AS (SELECT vec_id, embedding FROM ${p}emb ORDER BY $seedOrder LIMIT $SampleN),
+       |${subCte(s"${p}emb", s"${p}sub")},
+       |${subCte(s"${p}samp", s"${p}ssub")},
+       |${p}seed AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY $seedOrder) AS INT) AS c_id, vec_id
-       |  FROM (SELECT vec_id FROM samp ORDER BY $seedOrder LIMIT $NCode)),
-       |cent0 AS (
+       |  FROM (SELECT vec_id FROM ${p}samp ORDER BY $seedOrder LIMIT $NCode)),
+       |${p}cent0 AS (
        |  SELECT ss.sub, sd.c_id, ss.svec AS c_emb
-       |  FROM ssub ss JOIN seed sd ON ss.vec_id = sd.vec_id),
+       |  FROM ${p}ssub ss JOIN ${p}seed sd ON ss.vec_id = sd.vec_id),
        |$rounds,
-       |${assignCte("sub", s"cent$Iters", "enc")},
-       |codes AS (SELECT vec_id, sub, c_id AS code FROM enc)""".stripMargin
+       |${assignCte(s"${p}sub", s"${p}cent$Iters", s"${p}enc")},
+       |${p}codes AS (SELECT vec_id, sub, c_id AS code FROM ${p}enc)""".stripMargin
   }
 
   private def q98codesSql: String =
-    s"""WITH $pqChainSql
+    s"""WITH ${pqChainSql()}
        |SELECT sub, code, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS sum_vec
        |FROM codes GROUP BY sub, code
        |ORDER BY sub ASC NULLS LAST, code ASC NULLS LAST""".stripMargin
 
   private def q98annSql: String =
-    s"""WITH $pqChainSql,
+    s"""WITH ${pqChainSql()},
        |recon AS (
        |  SELECT codes.vec_id, flatten(list(c.c_emb ORDER BY codes.sub ASC)) AS embedding
        |  FROM codes JOIN cent$Iters c ON codes.sub = c.sub AND codes.code = c.c_id
@@ -294,5 +340,5 @@ object Pq {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q98_pq_codes", q98codes, Some(q98codesSql)),
     QueryDef("q98_ann_pq", q98ann, Some(q98annSql)),
-    QueryDef("q102_ann_ivfpq", q102, None))
+    QueryDef("q102_ann_ivfpq", q102, Some(q102Sql)))
 }

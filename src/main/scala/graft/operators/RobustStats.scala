@@ -1,11 +1,11 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-8: robust/approximate statistics for 100 TB profiling.
+/** Robust/approximate statistics for 100 TB profiling.
   *
   * q123 — MERGEABLE quantile sketch in the fixed-bin histogram family:
   * a (min, max, bin-counts) triple is re-aggregatable by construction
@@ -19,14 +19,110 @@ import org.apache.spark.sql.functions._
   * so the sketch itself is DuckDB-replayable — the oracle re-derives
   * identical estimates, not just similar ones.
   *
-  * q124 — winsorization by ORDER STATISTICS: cap at the rank-⌈0.05n⌉ /
-  * rank-⌈0.95n⌉ elements (type-1 quantiles, actual data values) rather
-  * than interpolated percentiles — interpolation arithmetic differs in
-  * the last ulp across engines, selected elements cannot. Ties in x
-  * are harmless: any row at the boundary rank carries the same x. */
+  * q124 / q126 — round-9: the registry entries are the SKETCH-BACKED
+  * plans (caps / CDF from the q123 histogram — two tiny keyed
+  * aggregates plus map-only passes, parallelism unbounded). The exact
+  * order-statistic versions survive as PUBLIC API ([[winsorizeExact]],
+  * [[quantileTransformExact]]) and differential twins in
+  * RobustStatsSpec: their per-group `row_number`/`percent_rank` windows
+  * sort the whole corpus across |groups| tasks, which the r8 sf1 study
+  * measured at 3.7×/6.6× cost growth at 10× data — correct at any
+  * scale, affordable only at small ones.
+  */
 object RobustStats {
 
   private val B = 256
+
+  // ---------------------------------------------------- shared sketch
+  /** Per-group (lo, hi, n) range frame of `base` = (g, x). */
+  private def rangeOf(base: DataFrame): DataFrame =
+    base.groupBy(col("g"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+
+  /** Bin width (0-guarded upstream by binOf's degenerate case). */
+  private def widthCol: Column = (col("hi") - col("lo")) / lit(B.toDouble)
+
+  /** Bin of x under a (lo, hi) range: floor((x-lo)/w) capped to B-1;
+    * a degenerate group (hi == lo, w = 0) puts all mass in bin 0 —
+    * without the guard (x-lo)/w is 0/0 = NaN and floor(NaN) faults
+    * under ANSI (both engines). */
+  private def binOf: Column =
+    when(col("hi") === col("lo"), lit(0))
+      .otherwise(least(floor((col("x") - col("lo")) / widthCol).cast("int"),
+        lit(B - 1)))
+
+  private def binSqlOf(x: String): String =
+    s"""CASE WHEN hi = lo THEN 0
+       |  ELSE LEAST(CAST(FLOOR(($x - lo) / ((hi - lo) / ${B}.0)) AS INTEGER), ${B - 1})
+       |  END""".stripMargin
+
+  /** The cumulative histogram: (g, bin, cnt, cum, cum_before) per
+    * non-empty bin, plus the group's (lo, hi, w, n). Two group-keyed
+    * exchanges (range, then ≤B rows per group); everything downstream
+    * of it is bins-sized. */
+  private def cumHist(base: DataFrame): DataFrame = {
+    val rng = rangeOf(base)
+    val binned = base.join(broadcast(rng), Seq("g"))
+      .withColumn("bin", binOf)
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
+    binned
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .join(broadcast(rng), Seq("g"))
+      .withColumn("w", widthCol)
+  }
+
+  private val cumHistSql =
+    s"""base AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+       |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n
+       |  FROM base GROUP BY g),
+       |binned AS (
+       |  SELECT b.g, ${binSqlOf("x")} AS bin, COUNT(*) AS cnt
+       |  FROM base b JOIN rng USING (g) GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, bin, cnt,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) - cnt AS cum_before
+       |  FROM binned)""".stripMargin
+
+  /** Sketch quantile estimates for probabilities `qs`: one row per
+    * (g, q) with the interpolated estimate — the q123 formula, shared
+    * by the winsorize caps. `cum` must be [[cumHist]]'s output. */
+  private def sketchQuantiles(s: SparkSession, cum: DataFrame,
+      qs: Seq[Double]): DataFrame = {
+    val hit = cum
+      .crossJoin(broadcast(s.range(1).select(
+        explode(array(qs.map(lit(_)): _*)).as("q"))))
+      .withColumn("t", ceil(col("q") * col("n")).cast("long"))
+      .where(col("cum") >= col("t"))
+    val pick = Window.partitionBy(col("g"), col("q"))
+      .orderBy(col("bin").asc_nulls_last)
+    hit.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
+      .select(col("g"), col("q"),
+        (col("lo") + col("w") * (col("bin") +
+          (col("t") - col("cum_before")).cast("double") / col("cnt")))
+          .as("q_est"))
+  }
+
+  /** SQL twin of [[sketchQuantiles]]: defines CTE `qhit` (g, q, q_est)
+    * given `cum` + `rng`; `qset` must list the probabilities. */
+  private def sketchQuantilesSql(qs: Seq[Double]): String =
+    // ::DOUBLE: a bare 0.05 literal is DECIMAL in DuckDB, and decimal
+    // q*n is exact where Spark's double q*n carries 0.05's representation
+    // error — CEIL could land on different integers at n ≡ 0 (mod 20)
+    s"""qset AS (SELECT unnest([${qs.map(q => s"$q::DOUBLE").mkString(", ")}]) AS q),
+       |qhit_all AS (
+       |  SELECT c.g, q.q, c.bin, c.cnt, c.cum_before,
+       |    rng.lo, (rng.hi - rng.lo) / ${B}.0 AS w,
+       |    CAST(CEIL(q.q * rng.n) AS BIGINT) AS t,
+       |    ROW_NUMBER() OVER (PARTITION BY c.g, q.q ORDER BY c.bin ASC) AS rk
+       |  FROM cum c JOIN rng USING (g) CROSS JOIN qset q
+       |  WHERE c.cum >= CAST(CEIL(q.q * rng.n) AS BIGINT)),
+       |qhit AS (
+       |  SELECT g, q, lo + w * (bin + CAST(t - cum_before AS DOUBLE) / cnt) AS q_est
+       |  FROM qhit_all WHERE rk = 1)""".stripMargin
 
   // ------------------------------------------------------------- q123
   /** Q123: histogram-sketch quantiles (p50/p90/p99) of l_extendedprice
@@ -35,129 +131,131 @@ object RobustStats {
   private def q123(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.t(s, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-    val rng = base.groupBy(col("g"))
-      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
-        count(lit(1)).as("n"))
-    val binned = base.join(broadcast(rng), Seq("g"))
-      .withColumn("w", (col("hi") - col("lo")) / lit(B.toDouble))
-      .withColumn("bin",
-        least(floor((col("x") - col("lo")) / col("w")).cast("int"), lit(B - 1)))
-      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
-    val wc = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
-    val cum = binned
-      .withColumn("cum", sum(col("cnt")).over(wc))
-      .withColumn("cum_before", col("cum") - col("cnt"))
-      .join(broadcast(rng), Seq("g"))
-      .withColumn("w", (col("hi") - col("lo")) / lit(B.toDouble))
-    val qs = cum.select(col("g"), col("bin"), col("cnt"), col("cum"),
-        col("cum_before"), col("lo"), col("w"), col("n"))
-      .crossJoin(broadcast(s.range(1).select(
-        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))))
-      .withColumn("t", ceil(col("q") * col("n")).cast("long"))
-      .where(col("cum") >= col("t"))
-    val pick = Window.partitionBy(col("g"), col("q"))
-      .orderBy(col("bin").asc_nulls_last)
-    qs.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
-      .select(col("g"), col("q"),
-        round(col("lo") + col("w") * (col("bin") +
-          (col("t") - col("cum_before")).cast("double") / col("cnt")), 6)
-          .as("q_est"))
+    sketchQuantiles(s, cumHist(base), Seq(0.5, 0.9, 0.99))
+      .select(col("g"), col("q"), round(col("q_est"), 6).as("q_est"))
       .orderBy(col("g").asc_nulls_last, col("q").asc_nulls_last)
   }
 
   private val q123Sql =
-    s"""WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
-       |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n
-       |  FROM base GROUP BY g),
-       |binned AS (
-       |  SELECT b.g,
-       |    LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / ${B}.0)) AS INTEGER), ${B - 1}) AS bin,
-       |    COUNT(*) AS cnt
-       |  FROM base b JOIN rng USING (g) GROUP BY 1, 2),
-       |cum AS (
-       |  SELECT g, bin, cnt,
-       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) AS cum,
-       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) - cnt AS cum_before
-       |  FROM binned),
-       |qset AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
-       |hit AS (
-       |  SELECT c.g, q.q, c.bin, c.cnt, c.cum_before,
-       |    rng.lo, (rng.hi - rng.lo) / ${B}.0 AS w,
-       |    CAST(CEIL(q.q * rng.n) AS BIGINT) AS t,
-       |    ROW_NUMBER() OVER (PARTITION BY c.g, q.q ORDER BY c.bin ASC) AS rk
-       |  FROM cum c JOIN rng USING (g) CROSS JOIN qset q
-       |  WHERE c.cum >= CAST(CEIL(q.q * rng.n) AS BIGINT))
-       |SELECT g, q,
-       |  ROUND(lo + w * (bin + CAST(t - cum_before AS DOUBLE) / cnt), 6) AS q_est
-       |FROM hit WHERE rk = 1
+    s"""WITH $cumHistSql,
+       |${sketchQuantilesSql(Seq(0.5, 0.9, 0.99))}
+       |SELECT g, q, ROUND(q_est, 6) AS q_est
+       |FROM qhit
        |ORDER BY g ASC NULLS LAST, q ASC NULLS LAST""".stripMargin
 
   // ------------------------------------------------------------- q124
-  /** Q124: winsorized aggregate of l_extendedprice per return flag —
-    * cap at the rank-⌈0.05n⌉ / rank-⌈0.95n⌉ order statistics, report
-    * the capped decimal sum and how many rows each tail clamped. */
-  private def q124(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+  /** PUBLIC API — EXACT winsorize thresholds by order statistics (the
+    * rank-⌈0.05n⌉ / rank-⌈0.95n⌉ elements): per-group (p_lo, p_hi).
+    * Correct at any scale but the per-group `row_number` sorts the
+    * whole frame across |groups| tasks — use for small group counts ×
+    * big groups only as an audit; the q124 registry default derives the
+    * caps from the mergeable histogram sketch instead. Differential
+    * twin in RobustStatsSpec. */
+  def winsorizeExact(base: DataFrame): DataFrame = {
     val n = Window.partitionBy(col("g"))
-    val ranked = base
+    base
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("g")).orderBy(col("x").asc_nulls_last)))
       .withColumn("n", count(lit(1)).over(n))
-    val thresholds = ranked
       .where(col("rn") === greatest(lit(1L), ceil(col("n") * 0.05).cast("long")) ||
         col("rn") === ceil(col("n") * 0.95).cast("long"))
       .groupBy(col("g"))
       .agg(min(col("x")).as("p_lo"), max(col("x")).as("p_hi"))
-    base.join(broadcast(thresholds), Seq("g"))
+  }
+
+  /** Q124: winsorized aggregate of l_extendedprice per return flag —
+    * caps at the SKETCH p05/p95 estimates (within one bin width of the
+    * exact order statistics — asserted vs [[winsorizeExact]] in
+    * RobustStatsSpec), the capped decimal sum, and the per-tail clamp
+    * counts. Scale shape: two bins-sized keyed aggregates + one
+    * broadcast-join map pass — no per-group corpus sort anywhere. */
+  /** PUBLIC API — sketch winsorize caps: per-group (p_lo, p_hi) as the
+    * histogram-interpolated p05/p95 (within one bin width of
+    * [[winsorizeExact]]'s order statistics — RobustStatsSpec). */
+  def winsorizeSketchCaps(s: SparkSession, base: DataFrame): DataFrame =
+    sketchQuantiles(s, cumHist(base), Seq(0.05, 0.95))
+      .groupBy(col("g"))
+      .agg(min(when(col("q") === 0.05, col("q_est"))).as("p_lo"),
+        min(when(col("q") === 0.95, col("q_est"))).as("p_hi"))
+
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    base.join(broadcast(winsorizeSketchCaps(s, base)), Seq("g"))
       .withColumn("capped",
         when(col("x") < col("p_lo"), col("p_lo"))
           .when(col("x") > col("p_hi"), col("p_hi"))
           .otherwise(col("x")))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
-        sum(col("capped").cast("decimal(28,2)")).cast("double").as("wsum"),
+        round(sum(col("capped").cast("decimal(28,6)")).cast("double"), 4)
+          .as("wsum"),
         sum(when(col("x") < col("p_lo"), 1L).otherwise(0L)).cast("long").as("n_lo"),
         sum(when(col("x") > col("p_hi"), 1L).otherwise(0L)).cast("long").as("n_hi"))
       .orderBy(col("g").asc_nulls_last)
   }
 
   private val q124Sql =
-    """WITH base AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
-      |ranked AS (
-      |  SELECT g, x,
-      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x ASC) AS rn,
-      |    COUNT(*) OVER (PARTITION BY g) AS n
-      |  FROM base),
-      |thresholds AS (
-      |  SELECT g, MIN(x) AS p_lo, MAX(x) AS p_hi
-      |  FROM ranked
-      |  WHERE rn = GREATEST(1, CAST(CEIL(n * 0.05) AS BIGINT))
-      |     OR rn = CAST(CEIL(n * 0.95) AS BIGINT)
-      |  GROUP BY g)
-      |SELECT b.g, COUNT(*) AS n,
-      |  CAST(SUM(CAST(CASE WHEN x < p_lo THEN p_lo
-      |                     WHEN x > p_hi THEN p_hi
-      |                     ELSE x END AS DECIMAL(28,2))) AS DOUBLE) AS wsum,
-      |  CAST(SUM(CASE WHEN x < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-      |  CAST(SUM(CASE WHEN x > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
-      |FROM base b JOIN thresholds USING (g)
-      |GROUP BY b.g
-      |ORDER BY g ASC NULLS LAST""".stripMargin
+    s"""WITH $cumHistSql,
+       |${sketchQuantilesSql(Seq(0.05, 0.95))},
+       |caps AS (
+       |  SELECT g, MIN(CASE WHEN q = 0.05::DOUBLE THEN q_est END) AS p_lo,
+       |    MIN(CASE WHEN q = 0.95::DOUBLE THEN q_est END) AS p_hi
+       |  FROM qhit GROUP BY g)
+       |SELECT b.g, COUNT(*) AS n,
+       |  ROUND(CAST(SUM(CAST(CASE WHEN x < p_lo THEN p_lo
+       |                     WHEN x > p_hi THEN p_hi
+       |                     ELSE x END AS DECIMAL(28,6))) AS DOUBLE), 4) AS wsum,
+       |  CAST(SUM(CASE WHEN x < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       |  CAST(SUM(CASE WHEN x > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+       |FROM base b JOIN caps USING (g)
+       |GROUP BY b.g
+       |ORDER BY g ASC NULLS LAST""".stripMargin
 
   // ------------------------------------------------------------- q126
-  /** Q126: quantile (rank) transform — sklearn's QuantileTransformer as
-    * a window pass: x → percent_rank(x), which maps any distribution to
-    * uniform[0,1]. The entry verifies the DEFINING property instead of
-    * dumping 600k transformed rows: bucketing the transformed values
-    * into deciles per group must give ~10% occupancy each — the decile
-    * histogram is the output. percent_rank is RANK-based, so ties in x
-    * share a value and both engines bucket identically. */
-  private def q126(s: SparkSession, dir: String): DataFrame = {
+  /** PUBLIC API — EXACT quantile (rank) transform: x → percent_rank(x)
+    * per group (sklearn's QuantileTransformer). The defining full-sort
+    * semantics; parallelism capped at |groups| — audit/differential
+    * use only (see q126's sketch default). */
+  def quantileTransformExact(base: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col("x").asc_nulls_last)
-    Tables.t(s, dir, "lineitem")
+    base.withColumn("pr", percent_rank().over(w))
+  }
+
+  /** PUBLIC API — sketch-CDF quantile transform: x → F̂(x) from the
+    * mergeable histogram (cum_before + within-bin linear mass) — a
+    * map-only pass after two bins-sized aggregates, the 100 TB shape.
+    * |F̂(x) − percent_rank(x)| is bounded by the winning bin's mass
+    * fraction (asserted in RobustStatsSpec). Degenerate group (hi ==
+    * lo): all mass lands in bin 0 with frac 1 → F̂ = 1 for every row. */
+  def quantileTransformSketch(s: SparkSession, base: DataFrame): DataFrame = {
+    val hist = cumHist(base)
+      .select(col("g"), col("bin"), col("cnt"), col("cum_before"),
+        col("lo"), col("hi"), col("w"), col("n"))
+    base.join(broadcast(hist.select(col("g"), col("lo"), col("hi"),
+        col("w"), col("n")).distinct()), Seq("g"))
+      .withColumn("bin", binOf)
+      .join(broadcast(hist.select(col("g"), col("bin"), col("cnt"),
+        col("cum_before"))), Seq("g", "bin"))
+      .withColumn("frac",
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise(least(
+            (col("x") - col("lo")) / col("w") - col("bin").cast("double"),
+            lit(1.0))))
+      .withColumn("pr",
+        (col("cum_before").cast("double") +
+          col("cnt").cast("double") * col("frac")) / col("n").cast("double"))
+  }
+
+  /** Q126: quantile transform — the SKETCH-CDF default: x → F̂(x), then
+    * the per-group decile histogram of the transformed values as the
+    * scale-independent verification output (a correct transform puts
+    * ≈10% of each group in every decile; the deviation is the sketch
+    * error, itself deterministic and oracle-replayed exactly). */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-      .withColumn("pr", percent_rank().over(w))
+    quantileTransformSketch(s, base)
       .withColumn("decile",
         least(floor(col("pr") * 10).cast("int"), lit(9)))
       .groupBy(col("g"), col("decile"))
@@ -166,15 +264,22 @@ object RobustStats {
   }
 
   private val q126Sql =
-    """SELECT g, LEAST(CAST(FLOOR(pr * 10) AS INTEGER), 9) AS decile,
-      |  COUNT(*) AS n
-      |FROM (
-      |  SELECT l_returnflag AS g,
-      |    PERCENT_RANK() OVER (PARTITION BY l_returnflag
-      |      ORDER BY l_extendedprice ASC) AS pr
-      |  FROM lineitem)
-      |GROUP BY 1, 2
-      |ORDER BY g ASC NULLS LAST, decile ASC NULLS LAST""".stripMargin
+    s"""WITH $cumHistSql,
+       |pr AS (
+       |  SELECT b.g,
+       |    (CAST(c.cum_before AS DOUBLE) + CAST(c.cnt AS DOUBLE) *
+       |      (CASE WHEN rng.hi = rng.lo THEN 1.0
+       |            ELSE LEAST((b.x - rng.lo) / ((rng.hi - rng.lo) / ${B}.0)
+       |                         - CAST(${binSqlOf("b.x")} AS DOUBLE), 1.0)
+       |            END)) / CAST(rng.n AS DOUBLE) AS pr
+       |  FROM base b
+       |    JOIN rng USING (g)
+       |    JOIN cum c ON c.g = b.g AND c.bin = ${binSqlOf("b.x")})
+       |SELECT g, LEAST(CAST(FLOOR(pr * 10) AS INTEGER), 9) AS decile,
+       |  COUNT(*) AS n
+       |FROM pr
+       |GROUP BY 1, 2
+       |ORDER BY g ASC NULLS LAST, decile ASC NULLS LAST""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q123_hist_quantiles", q123, Some(q123Sql)),

@@ -27,12 +27,43 @@ import org.apache.spark.sql.functions._
   * frame (|nations|×|months| rows), never the facts. */
 object Twap {
 
-  /** Q141: per-event-type TWAP of `value` vs the naive mean. */
-  private def q141(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
+  /** PUBLIC API — per-key lead(ts) with UNBOUNDED parallelism: the naive
+    * `lead over (partition by key)` caps parallelism at |keys| (5 event
+    * types here — the r8 sf1 study measured 3.6× at 10× data on exactly
+    * that plan). This computes the same column over composite
+    * (key, day) partitions — day-sized sorts, |keys|×|days| concurrent
+    * tasks — and stitches the day boundaries with one tiny per-day
+    * window: each day's LAST event takes the next non-empty day's first
+    * ts for its key (per-(key,day) firsts are |keys|×|days| rows, so the
+    * stitch window is a kilobyte-scale frame, never the facts).
+    * Equality to the single-window answer: within a day the two leads
+    * coincide; the one row per (key, day) with no within-day successor
+    * is exactly the row whose global successor opens the next non-empty
+    * day. Proven in ReportingSpec AND by the driver: q141's oracle stays
+    * the single-window SQL definition, so the hash compare itself is the
+    * equality proof at every sf. */
+  def leadTsStitched(events: DataFrame, key: String): DataFrame = {
+    val day = to_date(col("ts"))
+    val wDay = Window.partitionBy(col(key), col("_day"))
       .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
-    Tables.t(s, dir, "events")
-      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+    val wStitch = Window.partitionBy(col(key))
+      .orderBy(col("_day").asc_nulls_last)
+    val firsts = events
+      .groupBy(col(key), day.as("_day"))
+      .agg(min(struct(col("ts"), col("event_id"))).getField("ts").as("_first_ts"))
+      .withColumn("_next_first_ts", lead(col("_first_ts"), 1).over(wStitch))
+      .select(col(key), col("_day"), col("_next_first_ts"))
+    events.withColumn("_day", day)
+      .withColumn("_lead_in_day", lead(col("ts"), 1).over(wDay))
+      .join(broadcast(firsts), Seq(key, "_day"))
+      .withColumn("next_ts", coalesce(col("_lead_in_day"), col("_next_first_ts")))
+      .drop("_day", "_lead_in_day", "_next_first_ts")
+  }
+
+  /** Q141: per-event-type TWAP of `value` vs the naive mean (scale-safe
+    * composite-window plan; see [[leadTsStitched]]). */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    leadTsStitched(Tables.t(s, dir, "events"), "event_type")
       .where(col("next_ts").isNotNull)
       .withColumn("dur_us",
         (unix_micros(col("next_ts")) - unix_micros(col("ts"))))
@@ -46,7 +77,6 @@ object Twap {
         round(sum(col("value").cast("decimal(28,6)")).cast("double") /
           count(lit(1)), 9).as("naive_mean"))
       .orderBy(col("event_type").asc_nulls_last)
-  }
 
   private val q141Sql =
     """WITH held AS (

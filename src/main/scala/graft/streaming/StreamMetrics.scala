@@ -21,6 +21,12 @@ object StreamMetrics {
   private val acc = new ThreadLocal[Option[Double]] {
     override def initialValue(): Option[Double] = None
   }
+  // (trigger count, median per-batch seconds) alongside the headline sum
+  // so Bench can report "N triggers × M s/batch" — a throttled-trigger
+  // wall clock must not read as engine cost (BASELINE.md, r9)
+  private val detail = new ThreadLocal[Option[(Int, Double)]] {
+    override def initialValue(): Option[(Int, Double)] = None
+  }
 
   /** Add `q`'s steady-state processing seconds to the accumulator:
     * median micro-batch `triggerExecution` × batch count. The median
@@ -35,8 +41,13 @@ object StreamMetrics {
       Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
     }.toSeq.sorted
     if (batches.nonEmpty) {
-      val steady = batches(batches.size / 2) * batches.size
+      val median = batches(batches.size / 2)
+      val steady = median * batches.size
       acc.set(Some(acc.get.getOrElse(0.0) + steady / 1e3))
+      val (n0, m0) = detail.get.getOrElse((0, 0.0))
+      // multi-stream queries (e.g. join of two file streams): triggers
+      // add; the reported median is the max stream's (the pacing one)
+      detail.set(Some((n0 + batches.size, math.max(m0, median / 1e3))))
     }
   }
 
@@ -45,6 +56,11 @@ object StreamMetrics {
   def drain(): Option[Double] = {
     val v = acc.get
     acc.set(None)
+    detail.set(None)
     v
   }
+
+  /** (trigger count, median per-batch seconds) since the last drain —
+    * read BEFORE drain(); None for batch-only queries. */
+  def peekDetail(): Option[(Int, Double)] = detail.get
 }

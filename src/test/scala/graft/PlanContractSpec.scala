@@ -75,7 +75,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q133_kcore", "q134_item_sim", "q135_scd2", "q136_cuped",
     "q137_attribution", "q138_novelty", "q139_budget_select",
     "q140_diversity", "q141_twap", "q142_k_anonymity", "q143_mom_growth",
-    "q144_conversion_lag", "q145_span_report")
+    "q144_conversion_lag", "q145_span_report", "q146_weighted_shards")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
@@ -165,7 +165,15 @@ class PlanContractSpec extends AnyFunSuite {
 
   Contracted.foreach { name =>
     test(s"$name executed-plan shape matches its contract") {
-      val got = observed(name).render
+      // one recompute on mismatch: under the full parallel suite, AQE
+      // stages with identical canonical subtrees can race — both
+      // materialize before either lands in the reuse cache, so a
+      // broadcast that reuses when quiet counts as a second exchange
+      // under load (observed once on q27 in a full run; alone it always
+      // reuses). A REAL plan regression reproduces on the quiet retry.
+      val got0 = observed(name).render
+      val got = if (got0 == contracts(name)) got0
+        else shapeOf(SparkEntry.queries(name)(spark, sf)).render
       assert(got == contracts(name),
         s"\nPLAN REGRESSION in $name\n  contract: ${contracts(name)}\n" +
           s"  observed: $got\nIf intentional, regenerate with " +

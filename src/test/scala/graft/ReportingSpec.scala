@@ -24,12 +24,14 @@ class ReportingSpec extends AnyFunSuite {
     val planted = Seq(
       ("a", "contact bob@mail.com or sue@web.org today"),
       ("a", "see https://example.com/x and id 1234567"),
-      ("b", "no identifiers here at all")).toDF("source", "text")
+      ("b", "no identifiers here at all"),
+      ("c", "Reach Bob@Mail.com over HTTPS://Example.COM/Path now")).toDF("source", "text")
     val got = graft.operators.Extraction.spanReport(planted)
       .collect().map(r => r.getString(0) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got("a") == ((2L, 1L, 1L)), s"planted counts wrong: $got")
     assert(got("b") == ((0L, 0L, 0L)))
+    assert(got("c") == ((1L, 1L, 0L)), s"mixed-case spans missed: $got")
   }
 
   test("q141: TWAP lies inside the observed value range; weights cover the span") {
@@ -44,6 +46,26 @@ class ReportingSpec extends AnyFunSuite {
       val twap = r.getDouble(2)
       assert(twap >= lo && twap <= hi, s"TWAP outside value range: $r")
     }
+  }
+
+  test("q141 differential: composite-day stitched lead equals the single-window lead") {
+    // the r9 scale-safe plan partitions by (event_type, day) and
+    // stitches day boundaries; it must produce the SAME next_ts column
+    // as the |event_type|-partitioned window it replaces (the driver
+    // oracle replays the single-window definition, so the hash compare
+    // re-proves this at every sf — here the row-level equality)
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.t(spark, sf, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc_nulls_last)
+    val single = ev.withColumn("next_single", lead(col("ts"), 1).over(w))
+      .select(col("event_id"), col("next_single"))
+    val stitched = graft.operators.Twap.leadTsStitched(ev, "event_type")
+      .select(col("event_id"), col("next_ts"))
+    val diff = stitched.join(single, "event_id")
+      .where(!(col("next_ts") <=> col("next_single")))
+      .count()
+    assert(diff == 0, s"$diff rows disagree between stitched and single-window lead")
   }
 
   test("q142: class histogram conserves the customer count") {

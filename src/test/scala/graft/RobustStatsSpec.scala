@@ -63,4 +63,42 @@ class RobustStatsSpec extends AnyFunSuite {
       assert(nLo + nHi > 0, "winsorization clamped nothing — degenerate fixture")
     }
   }
+
+  private def base = Tables.t(spark, sf, "lineitem")
+    .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+
+  test("q124 differential: sketch caps sit within one bin width of the exact order statistics") {
+    // the r9 default derives (p_lo, p_hi) from the mergeable histogram;
+    // the exact-order-statistic twin survives as winsorizeExact — the
+    // two must agree to one bin width (the sketch's error bound)
+    val exact = graft.operators.RobustStats.winsorizeExact(base)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sketch = graft.operators.RobustStats.winsorizeSketchCaps(spark, base)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val binw = base.groupBy(col("g"))
+      .agg(((max(col("x")) - min(col("x"))) / 256.0).as("binw"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == sketch.keySet && exact.nonEmpty)
+    exact.foreach { case (g, (eLo, eHi)) =>
+      val (sLo, sHi) = sketch(g)
+      val tol = binw(g) + 1e-6
+      assert(math.abs(sLo - eLo) <= tol, s"g=$g p_lo sketch=$sLo exact=$eLo binw=${binw(g)}")
+      assert(math.abs(sHi - eHi) <= tol, s"g=$g p_hi sketch=$sHi exact=$eHi binw=${binw(g)}")
+    }
+  }
+
+  test("q126 differential: sketch-CDF agrees with percent_rank to the boundary-bin mass") {
+    val sketch = graft.operators.RobustStats.quantileTransformSketch(spark, base)
+      .select(col("g"), col("x"), col("pr").as("pr_s"))
+    val exact = graft.operators.RobustStats.quantileTransformExact(base)
+      .select(col("g"), col("x"), col("pr").as("pr_e"))
+      .groupBy(col("g"), col("x")).agg(min(col("pr_e")).as("pr_e"))
+    val joined = sketch.groupBy(col("g"), col("x")).agg(min(col("pr_s")).as("pr_s"))
+      .join(exact, Seq("g", "x"))
+      .select(abs(col("pr_s") - col("pr_e")).as("d"))
+      .agg(max(col("d")).as("dmax")).collect()(0).getDouble(0)
+    // per-row CDF error ≤ (boundary bin mass)/n plus rank-vs-count off-
+    // by-one; ~1/256 of mass per bin on this near-uniform fixture
+    assert(joined <= 0.02, s"sketch CDF deviates from percent_rank by $joined")
+  }
 }

@@ -40,6 +40,61 @@ class ShardingSpec extends AnyFunSuite {
       s"imbalanced shards: ${counts.mkString(",")} (mean $mean)")
   }
 
+  test("weighted HRW: doubling one shard's weight moves docs only INTO that shard") {
+    val uni = Seq.fill(8)(1)
+    val wtd = 2 +: Seq.fill(7)(1)
+    val a = Tables.t(spark, sf, "documents").select(
+      operators.Sharding.hrwShardWeighted(col("doc_id"), uni).as("su"),
+      operators.Sharding.hrwShardWeighted(col("doc_id"), wtd).as("sw"))
+    val badMoves = a.where(col("su") =!= col("sw") && col("sw") =!= 0).count()
+    assert(badMoves == 0,
+      s"$badMoves docs moved to a shard whose weight did not change")
+  }
+
+  test("weighted HRW: shares are proportional to weights (2-weight shard ≈ 2/9)") {
+    val wtd = 2 +: Seq.fill(7)(1)
+    val counts = Tables.t(spark, sf, "documents")
+      .select(operators.Sharding.hrwShardWeighted(col("doc_id"), wtd).as("s"))
+      .groupBy(col("s")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val share0 = counts(0) / total
+    assert(share0 > 1.4 / 9 && share0 < 2.8 / 9,
+      f"double-weight shard holds $share0%.3f, expected ≈ ${2.0 / 9}%.3f")
+    (1 until 8).foreach { i =>
+      val sh = counts.getOrElse(i, 0L) / total
+      assert(sh > 0.5 / 9 && sh < 1.8 / 9, f"unit shard $i holds $sh%.3f ≉ 1/9")
+    }
+  }
+
+  test("costWeights: a 2×-cost shard's share roughly halves (the load-aware law)") {
+    val weights = operators.Sharding.costWeights(2.0 +: Seq.fill(7)(1.0))
+    assert(weights.head < weights(1), "slow shard must get fewer virtual nodes")
+    val counts = Tables.t(spark, sf, "documents")
+      .select(operators.Sharding.hrwShardWeighted(col("doc_id"), weights).as("s"))
+      .groupBy(col("s")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val ratio = (counts(0) / total) / (1.0 / 8)
+    assert(ratio > 0.3 && ratio < 0.8,
+      f"2×-cost shard share ratio vs uniform is $ratio%.2f, expected ≈ 0.53")
+  }
+
+  test("q146 registry output is self-consistent (weighted rebalance differential)") {
+    val rows = SparkEntry.queries("q146_weighted_shards")(spark, sf).collect()
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_uniform")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_weighted")).sum == total)
+    rows.foreach { r =>
+      val shard = r.getAs[Int]("shard")
+      val movedIn = r.getAs[Long]("moved_in")
+      if (shard != 0) assert(movedIn == 0,
+        s"shard $shard gained $movedIn docs — only the upweighted shard may gain")
+      else assert(movedIn == r.getAs[Long]("n_weighted") - r.getAs[Long]("n_uniform"),
+        "shard 0's gain must equal its population delta (it never loses)")
+    }
+  }
+
   test("q96 registry output is self-consistent") {
     val rows = SparkEntry.queries("q96_hrw_shards")(spark, sf).collect()
     val total = Tables.t(spark, sf, "documents").count()
