@@ -79,6 +79,11 @@ object Registry {
       operators.Twap.defs ++
       operators.Conversion.defs ++
       operators.Extraction.defs ++
+      operators.Ols.defs ++
+      operators.Baskets.defs ++
+      operators.SlidingDistinct.defs ++
+      operators.Mad.defs ++
+      operators.Gini.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9: grouped ordinary least squares — closed-form simple linear
+  * regression per group, the "fit a trend inside every segment" pass a
+  * profiling pipeline runs per source/cohort/feature (complement of
+  * q132's logistic GD: that is iterative-classifier, this is one-shot
+  * analytic).
+  *
+  * Spark-first shape: ONE aggregation pass — slope/intercept/R² are
+  * pure functions of the five moment sums (Σx, Σy, Σx², Σy², Σxy), so
+  * the whole fit is a map-side-combinable groupBy; no iteration, no
+  * window, no second scan. At 100 TB this is exactly one exchange of
+  * six numbers per group.
+  *
+  * Determinism/oracle: each product is one double multiply (identical
+  * IEEE op both engines), accumulated as DECIMAL(38,12) — exact,
+  * order-independent sums (the [[graft.Canon]] discipline) — then the
+  * closed form is evaluated in doubles on the same expression tree, so
+  * DuckDB replays slope/intercept/R² bit-for-bit before the final
+  * 9-dp display rounding. */
+object Ols {
+
+  /** PUBLIC API — per-group OLS of y on x over (g, x, y) rows:
+    * (g, n, slope, intercept, r2), 9-dp rounded. */
+  def olsByGroup(base: DataFrame): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,12)")).cast("double")
+    base.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        round(col("cov") / col("dx"), 9).as("slope"),
+        round((col("sy") - (col("cov") / col("dx")) * col("sx")) / col("n"), 9)
+          .as("intercept"),
+        round((col("cov") * col("cov")) / (col("dx") * col("dy")), 9).as("r2"))
+      .orderBy(col("g").asc_nulls_last)
+  }
+
+  /** Q147: regress l_extendedprice on l_quantity per return flag —
+    * price scales near-linearly with quantity within a flag, so R²
+    * lands high and the per-flag slopes are the per-unit price. */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    olsByGroup(Tables.t(s, dir, "lineitem").select(
+      col("l_returnflag").as("g"), col("l_quantity").as("x"),
+      col("l_extendedprice").as("y")))
+
+  private val q147Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT g, n, sx, sy,
+      |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+      |    n * sxy - sx * sy AS cov
+      |  FROM m)
+      |SELECT g, CAST(n AS BIGINT) AS n,
+      |  ROUND(cov / dx, 9) AS slope,
+      |  ROUND((sy - (cov / dx) * sx) / n, 9) AS intercept,
+      |  ROUND((cov * cov) / (dx * dy), 9) AS r2
+      |FROM d
+      |ORDER BY g ASC NULLS LAST""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_ols_by_group", q147, Some(q147Sql)))
+}

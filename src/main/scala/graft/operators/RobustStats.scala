@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
-  private val B = 256
+  private[operators] val B = 256
 
   // ---------------------------------------------------- shared sketch
   /** Per-group (lo, hi, n) range frame of `base` = (g, x). */
@@ -60,8 +60,10 @@ object RobustStats {
   /** The cumulative histogram: (g, bin, cnt, cum, cum_before) per
     * non-empty bin, plus the group's (lo, hi, w, n). Two group-keyed
     * exchanges (range, then ≤B rows per group); everything downstream
-    * of it is bins-sized. */
-  private def cumHist(base: DataFrame): DataFrame = {
+    * of it is bins-sized. Shared with [[Mad]] (q150) and [[Gini]]
+    * (q151), which sketch DERIVED value columns through the same
+    * machinery. */
+  private[operators] def cumHist(base: DataFrame): DataFrame = {
     val rng = rangeOf(base)
     val binned = base.join(broadcast(rng), Seq("g"))
       .withColumn("bin", binOf)
@@ -74,23 +76,32 @@ object RobustStats {
       .withColumn("w", widthCol)
   }
 
-  private val cumHistSql =
-    s"""base AS (SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
-       |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n
-       |  FROM base GROUP BY g),
-       |binned AS (
-       |  SELECT b.g, ${binSqlOf("x")} AS bin, COUNT(*) AS cnt
-       |  FROM base b JOIN rng USING (g) GROUP BY 1, 2),
-       |cum AS (
+  /** WITH-body for the cumulative histogram over an arbitrary (g, x)
+    * base: caller supplies `${p}base`'s SELECT; defines `${p}rng` and
+    * `${p}cum`. The `p` prefix lets two sketches (e.g. q150's value
+    * pass and deviation pass) chain in one statement. */
+  private[operators] def cumHistSqlFor(p: String, baseSelect: String): String = {
+    val binSql = binSqlOf("x")
+    s"""${p}base AS ($baseSelect),
+       |${p}rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n
+       |  FROM ${p}base GROUP BY g),
+       |${p}binned AS (
+       |  SELECT b.g, $binSql AS bin, COUNT(*) AS cnt
+       |  FROM ${p}base b JOIN ${p}rng USING (g) GROUP BY 1, 2),
+       |${p}cum AS (
        |  SELECT g, bin, cnt,
        |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) AS cum,
        |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) - cnt AS cum_before
-       |  FROM binned)""".stripMargin
+       |  FROM ${p}binned)""".stripMargin
+  }
+
+  private val cumHistSql = cumHistSqlFor("",
+    "SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem")
 
   /** Sketch quantile estimates for probabilities `qs`: one row per
     * (g, q) with the interpolated estimate — the q123 formula, shared
     * by the winsorize caps. `cum` must be [[cumHist]]'s output. */
-  private def sketchQuantiles(s: SparkSession, cum: DataFrame,
+  private[operators] def sketchQuantiles(s: SparkSession, cum: DataFrame,
       qs: Seq[Double]): DataFrame = {
     val hit = cum
       .crossJoin(broadcast(s.range(1).select(
@@ -106,23 +117,26 @@ object RobustStats {
           .as("q_est"))
   }
 
-  /** SQL twin of [[sketchQuantiles]]: defines CTE `qhit` (g, q, q_est)
-    * given `cum` + `rng`; `qset` must list the probabilities. */
-  private def sketchQuantilesSql(qs: Seq[Double]): String =
+  /** SQL twin of [[sketchQuantiles]]: defines CTE `${p}qhit`
+    * (g, q, q_est) given `${p}cum` + `${p}rng`. */
+  private[operators] def sketchQuantilesSqlFor(p: String, qs: Seq[Double]): String =
     // ::DOUBLE: a bare 0.05 literal is DECIMAL in DuckDB, and decimal
     // q*n is exact where Spark's double q*n carries 0.05's representation
     // error — CEIL could land on different integers at n ≡ 0 (mod 20)
-    s"""qset AS (SELECT unnest([${qs.map(q => s"$q::DOUBLE").mkString(", ")}]) AS q),
-       |qhit_all AS (
+    s"""${p}qset AS (SELECT unnest([${qs.map(q => s"$q::DOUBLE").mkString(", ")}]) AS q),
+       |${p}qhit_all AS (
        |  SELECT c.g, q.q, c.bin, c.cnt, c.cum_before,
        |    rng.lo, (rng.hi - rng.lo) / ${B}.0 AS w,
        |    CAST(CEIL(q.q * rng.n) AS BIGINT) AS t,
        |    ROW_NUMBER() OVER (PARTITION BY c.g, q.q ORDER BY c.bin ASC) AS rk
-       |  FROM cum c JOIN rng USING (g) CROSS JOIN qset q
+       |  FROM ${p}cum c JOIN ${p}rng rng USING (g) CROSS JOIN ${p}qset q
        |  WHERE c.cum >= CAST(CEIL(q.q * rng.n) AS BIGINT)),
-       |qhit AS (
+       |${p}qhit AS (
        |  SELECT g, q, lo + w * (bin + CAST(t - cum_before AS DOUBLE) / cnt) AS q_est
-       |  FROM qhit_all WHERE rk = 1)""".stripMargin
+       |  FROM ${p}qhit_all WHERE rk = 1)""".stripMargin
+
+  private def sketchQuantilesSql(qs: Seq[Double]): String =
+    sketchQuantilesSqlFor("", qs)
 
   // ------------------------------------------------------------- q123
   /** Q123: histogram-sketch quantiles (p50/p90/p99) of l_extendedprice

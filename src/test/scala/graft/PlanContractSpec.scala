@@ -75,7 +75,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q133_kcore", "q134_item_sim", "q135_scd2", "q136_cuped",
     "q137_attribution", "q138_novelty", "q139_budget_select",
     "q140_diversity", "q141_twap", "q142_k_anonymity", "q143_mom_growth",
-    "q144_conversion_lag", "q145_span_report", "q146_weighted_shards")
+    "q144_conversion_lag", "q145_span_report", "q146_weighted_shards",
+    "q147_ols_by_group", "q148_basket_lift", "q149_sliding_distinct",
+    "q150_mad_outliers", "q151_gini")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q147 (grouped OLS), q148 (basket lift), q149 (sliding distinct),
+  * q150 (MAD outliers), q151 (histogram Gini). The driver oracle owns
+  * exact replay; here the DEFINING laws on planted fixtures: OLS
+  * recovers a planted line, lift separates dependence from
+  * independence, WAU covers exactly the window, MAD shrugs off the
+  * outliers it hunts, and the sketch Gini tracks the exact sorted
+  * Gini. */
+class ProfilingOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("q147: OLS recovers a planted exact line (slope 2, intercept 1, r2 = 1)") {
+    val pts = (1 to 100).map(i => ("a", i.toDouble, 2.0 * i + 1.0)) ++
+      (1 to 100).map(i => ("b", i.toDouble, -0.5 * i + 10.0))
+    val got = operators.Ols.olsByGroup(pts.toDF("g", "x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") == ((2.0, 1.0, 1.0)), s"planted line a: ${got("a")}")
+    assert(got("b") == ((-0.5, 10.0, 1.0)), s"planted line b: ${got("b")}")
+  }
+
+  test("q147 registry: high r2 on the price~quantity relation; slopes positive") {
+    val rows = SparkEntry.queries("q147_ols_by_group")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0, s"price must rise with quantity: $r")
+      val r2 = r.getDouble(4)
+      assert(r2 > 0 && r2 <= 1.0, s"r2 out of range: $r")
+    }
+  }
+
+  test("q148: lift separates a perfectly-dependent pair from an independent one") {
+    // 100 baskets: (p,q) always co-occur; r appears in every basket, so
+    // (p,r) is exactly independent (lift 1); (p,s) never co-occur
+    val rows = (1 to 100).flatMap { b =>
+      val ps = if (b <= 50) Seq("p", "q") else Seq("s")
+      (ps :+ "r").map(i => (b.toLong, i))
+    }
+    val got = operators.Baskets.pairLift(rows.toDF("basket_id", "item"), minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(got(("p", "q")) == 2.0, s"dependent pair lift: $got") // 50·100/(50·50)
+    assert(got(("p", "r")) == 1.0, s"independent pair lift: $got")
+    assert(!got.contains(("p", "s")), "never-co-occurring pair must not appear")
+  }
+
+  test("q149: WAU equals the union of the trailing 7 days, DAU the day itself") {
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    def day(i: Int) = java.sql.Date.valueOf(s"2024-01-${"%02d".format(1 + i)}")
+    // user 1 active days 0 and 8 (two windows apart); users 2,3 day 3
+    val ev = Seq((1L, day(0)), (1L, day(8)), (2L, day(3)), (3L, day(3)))
+      .map { case (u, d) => ("t", d, u) }.toDF("g", "day", "user")
+    val got = operators.SlidingDistinct.slidingDistinct(ev)
+      .collect().map(r => r.getDate(1).toString -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got("2024-01-01") == ((1L, 1L)))
+    assert(got("2024-01-04") == ((2L, 3L)), s"day3 window must hold users 1,2,3: $got")
+    assert(got("2024-01-09") == ((1L, 3L)), s"day8 window still covers day 3: $got")
+    assert(got.size == 3, s"only active days reported: $got")
+    assert(d0.toLocalDate != null)
+  }
+
+  test("q150: planted outliers are counted; the estimator itself barely moves") {
+    val basePts = (1 to 1000).map(i => ("a", 100.0 + (i % 21) - 10)) // 90..110
+    val outliers = Seq(("a", 1e6), ("a", -1e6))
+    def profile(rows: Seq[(String, Double)]) =
+      operators.Mad.madOutliers(spark, rows.toDF("g", "x")).collect()(0)
+    val clean = profile(basePts)
+    val dirty = profile(basePts ++ outliers)
+    assert(dirty.getLong(2) >= 2, s"planted extremes not flagged: $dirty")
+    // robustness: two 1e6-magnitude points move the sketch median < 1 unit
+    assert(math.abs(dirty.getDouble(3) - clean.getDouble(3)) < 1.0,
+      s"median not robust: clean=${clean.getDouble(3)} dirty=${dirty.getDouble(3)}")
+  }
+
+  test("q151: sketch Gini tracks the exact sorted Gini; extremes ordered correctly") {
+    def exactGini(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val num = s.zipWithIndex.map { case (x, i) => (2 * (i + 1) - n - 1) * x }.sum
+      num / (n * s.sum)
+    }
+    val even = (1 to 500).map(i => ("even", 100.0 + (i % 3)))
+    val skew = (1 to 500).map(i => ("skew", if (i == 1) 1e5 else 1.0))
+    val mixed = (1 to 500).map(i => ("mixed", i.toDouble))
+    val df = (even ++ skew ++ mixed).toDF("g", "x")
+    val got = operators.Gini.giniSketch(df)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = Map("even" -> exactGini(even.map(_._2)),
+      "skew" -> exactGini(skew.map(_._2)), "mixed" -> exactGini(mixed.map(_._2)))
+    got.foreach { case (g, e) =>
+      assert(math.abs(e - exact(g)) < 0.02,
+        s"$g: sketch $e vs exact ${exact(g)}")
+    }
+    assert(got("even") < 0.05 && got("skew") > 0.9 && got("mixed") > 0.2,
+      s"extremes disordered: $got")
+  }
+}
