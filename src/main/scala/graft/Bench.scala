@@ -130,8 +130,12 @@ object Bench {
     // the COMPLETE machine-readable board (the driver artifact may
     // truncate long stdout): target/bench_board.json for tooling plus a
     // TRACKED copy at BENCH_BOARD.json (target/ is gitignored) so every
-    // round's full board is diffable in git history
-    Seq("target/bench_board.json", "BENCH_BOARD.json").foreach { p =>
+    // round's full board is diffable in git history. The tracked copy is
+    // written ONLY on full-registry runs — a SPARK_GRAFT_BENCH_ONLY dev
+    // subset must not silently clobber the committed board (ADVICE r9).
+    val boardPaths = "target/bench_board.json" ::
+      (if (only.isEmpty) List("BENCH_BOARD.json") else Nil)
+    boardPaths.foreach { p =>
       try {
         val out = java.nio.file.Paths.get(p)
         Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -140,6 +144,20 @@ object Bench {
         System.err.println(s"[bench] board write to $p failed: ${e.getMessage}")
       }
     }
+    // LAST line: a compact headline that fits the driver's ~2 KB stdout
+    // tail capture. The full line above is ~7 KB at 175 queries, so a
+    // tail-only capture starts mid-line and the driver's JSON parse
+    // fails (BENCH_r08/r09 "parsed": null — VERDICT r9 item 6). Here:
+    // totals + the slowest queries, ms precision, with an explicit
+    // truncation count and a pointer to the tracked full board.
+    def ms(v: Double): String = f"$v%.3f"
+    val slowest = ok.sortBy(-_._2)
+    val topN = slowest.take(20)
+    val compactQs = topN.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${ok.size},"queries_slowest":$compactQs,"queries_omitted":${ok.size - topN.size},"failed":$failed,"full_board":"BENCH_BOARD.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

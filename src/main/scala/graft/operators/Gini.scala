@@ -13,39 +13,71 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape: the exact Gini needs every group fully sorted
   * (the q126 scale-killer shape), so the registry entry computes the
-  * GROUPED-DATA Gini over the q123 mergeable histogram: bin counts +
-  * midpoint masses give G = 1 − Σ f_k·(S_{k−1} + S_k)/S_B — two
-  * bins-sized keyed aggregates and a ≤B-row window per group, with the
-  * one-bin-width error bound of every sketch in this family (vs the
-  * exact sorted Gini asserted in OlsBasketsSpec).
+  * GROUPED-DATA (trapezoidal-Lorenz) Gini over a capped histogram:
+  * G = 1 − Σ cnt_k·(S_{k−1} + S_k)/(n·S_B) where S is the cumulative
+  * ACTUAL bin mass Σx (not a midpoint guess). Round-10 redesign
+  * (VERDICT r9 item 1): (a) bin masses are the exact per-bin sums, so
+  * a whale's wealth is never smeared to a midpoint, and a bin whose
+  * members are (near-)equal contributes exactly; (b) the body bins
+  * span [min, p99̂] — the cap from 2-pass
+  * [[RobustStats.refinedQuantile]] — with everything above capped into
+  * the top bin at its true mass, so a single outlier can no longer
+  * stretch the bin width and erase the body's resolution (the old
+  * failure: skew-fixture Gini read 0.50 vs exact 0.99; the law in
+  * ProfilingOpsSpec now holds within 0.02). Cost: two refinement
+  * scans + one range pass + one binned aggregate — all map +
+  * bins-sized keyed aggregates, no per-group sort.
   *
-  * Determinism/oracle: counts are exact integers; midpoints and the
-  * cumulative fold are the same double trees on both engines over
-  * bins-sized frames (ordered by bin), so DuckDB re-derives G
-  * exactly. */
+  * Determinism/oracle: counts are exact integers, bin masses are
+  * exact DECIMAL(38,12) sums (order-independent), the cumulative fold
+  * runs over ≤B decimal rows, and cap/bin arithmetic is the shared
+  * +−×÷/floor double tree — DuckDB re-derives G exactly. A zero-mass
+  * group (all x = 0, permitted by the x ≥ 0 contract) is perfectly
+  * even: G = 0 by explicit guard, not NaN. */
 object Gini {
 
-  /** PUBLIC API — per-group histogram-sketch Gini of (g, x) rows with
+  private val B = RobustStats.B
+
+  /** PUBLIC API — per-group capped-histogram Gini of (g, x) rows with
     * x ≥ 0: (g, n, gini), 9-dp rounded. */
   def giniSketch(base: DataFrame): DataFrame = {
-    val hist = RobustStats.cumHist(base)
-      .withColumn("m", col("lo") + (col("bin").cast("double") + 0.5) * col("w"))
-      // degenerate group (hi == lo): all mass at one value — G = 0 via
-      // the same formula since every midpoint equals lo... except w = 0
-      // makes m = lo for bin 0 only, which IS the single populated bin
-      .withColumn("v", col("cnt").cast("double") * col("m"))
+    val cap = RobustStats.refinedQuantile(base, 0.99, passes = 2)
+      .select(col("g"), col("q_est").as("cap"))
+    val rng = base.groupBy(col("g"))
+      .agg(min(col("x")).as("lo"), count(lit(1)).as("nr"))
+    val binned = base
+      .join(broadcast(rng), Seq("g")).join(broadcast(cap), Seq("g"))
+      // B−1 body bins over [lo, cap]; bin B−1 is the open tail [cap, ∞)
+      // via the clamp. Degenerate cap ≤ lo (≥99% of mass at the min):
+      // bin 0 holds the floor, the tail bin everything above it.
+      .withColumn("w", (col("cap") - col("lo")) / lit((B - 1).toDouble))
+      .withColumn("bin",
+        when(col("w") <= 0.0,
+          when(col("x") > col("lo"), lit(B - 1)).otherwise(lit(0)))
+          .otherwise(greatest(least(floor((col("x") - col("lo")) / col("w")),
+            lit((B - 1).toDouble)), lit(0.0)).cast("int")))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        // exact, order-independent bin mass (Canon.dsum discipline);
+        // kept DECIMAL through the cumulative fold so the running sums
+        // are exact in both engines, cast to double only at use
+        sum(col("x").cast("decimal(38,12)")).as("sx"),
+        min(col("nr")).as("n"))
     val wb = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
-    val cum = hist
-      .withColumn("sv", sum(col("v")).over(wb))
-      .withColumn("sv_before", col("sv") - col("v"))
+    val cum = binned
+      .withColumn("sv", sum(col("sx")).over(wb).cast("double"))
+      .withColumn("sv_before",
+        (sum(col("sx")).over(wb) - col("sx")).cast("double"))
     cum.groupBy(col("g"))
       .agg(min(col("n")).as("n"),
-        // decimal-accumulated (Canon.dsum discipline): a bare double sum
-        // over the ≤B bin terms would be combine-order-dependent
-        (lit(1.0) - sum((col("cnt").cast("double") * (col("sv_before") + col("sv")))
-            .cast("decimal(38,12)")).cast("double")
-          / (min(col("n")).cast("double") * max(col("sv")))).as("gini"))
-      .select(col("g"), col("n"), round(col("gini"), 9).as("gini"))
+        sum((col("cnt").cast("double") * (col("sv_before") + col("sv")))
+          .cast("decimal(38,12)")).cast("double").as("num"),
+        max(col("sv")).as("stot"))
+      .select(col("g"), col("n"),
+        round(when(col("stot") === 0.0, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("num") / (col("n").cast("double") * col("stot"))), 9)
+          .as("gini"))
       .orderBy(col("g").asc_nulls_last)
   }
 
@@ -65,27 +97,36 @@ object Gini {
   }
 
   private val q151Sql = {
-    val hist = RobustStats.cumHistSqlFor("",
-      """SELECT n_name AS g, x FROM (
-        |    SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS x
-        |    FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY o_custkey) r
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
-    s"""WITH $hist,
-       |mid AS (
-       |  SELECT c.g, c.bin, c.cnt, rng.n,
-       |    CAST(c.cnt AS DOUBLE) *
-       |      (rng.lo + (CAST(c.bin AS DOUBLE) + 0.5) * ((rng.hi - rng.lo) / ${RobustStats.B}.0)) AS v
-       |  FROM cum c JOIN rng USING (g)),
+    val binSql =
+      s"""CASE WHEN (cp.cap - r.lo) / ${B - 1}.0 <= 0
+         |      THEN (CASE WHEN b.x > r.lo THEN ${B - 1} ELSE 0 END)
+         |      ELSE CAST(GREATEST(LEAST(FLOOR((b.x - r.lo) / ((cp.cap - r.lo) / ${B - 1}.0)), ${B - 1}.0), 0.0) AS INTEGER) END"""
+        .stripMargin.replaceAll("\n\\s*", " ")
+    s"""WITH base AS (
+       |  SELECT n_name AS g, x FROM (
+       |    SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS x
+       |    FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997 GROUP BY o_custkey) rev
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |${RobustStats.refinedQuantileSqlFor("", 0.99, passes = 2)},
+       |cp AS (SELECT g, q_est AS cap FROM qr),
+       |rng AS (SELECT g, MIN(x) AS lo, COUNT(*) AS nr FROM base GROUP BY g),
+       |binned AS (
+       |  SELECT b.g, $binSql AS bin, COUNT(*) AS cnt,
+       |    SUM(CAST(b.x AS DECIMAL(38,12))) AS sx,
+       |    MIN(r.nr) AS n
+       |  FROM base b JOIN rng r USING (g) JOIN cp USING (g)
+       |  GROUP BY 1, 2),
        |folded AS (
-       |  SELECT g, bin, cnt, n, v,
-       |    SUM(v) OVER (PARTITION BY g ORDER BY bin ASC) AS sv,
-       |    SUM(v) OVER (PARTITION BY g ORDER BY bin ASC) - v AS sv_before
-       |  FROM mid)
+       |  SELECT g, bin, cnt, n,
+       |    CAST(SUM(sx) OVER (PARTITION BY g ORDER BY bin ASC) AS DOUBLE) AS sv,
+       |    CAST(SUM(sx) OVER (PARTITION BY g ORDER BY bin ASC) - sx AS DOUBLE) AS sv_before
+       |  FROM binned)
        |SELECT g, MIN(n) AS n,
-       |  ROUND(1.0 - CAST(SUM(CAST(CAST(cnt AS DOUBLE) * (sv_before + sv)
-       |      AS DECIMAL(38,12))) AS DOUBLE)
-       |    / (CAST(MIN(n) AS DOUBLE) * MAX(sv)), 9) AS gini
+       |  ROUND(CASE WHEN MAX(sv) = 0 THEN 0.0
+       |    ELSE 1.0 - CAST(SUM(CAST(CAST(cnt AS DOUBLE) * (sv_before + sv)
+       |        AS DECIMAL(38,12))) AS DOUBLE)
+       |      / (CAST(MIN(n) AS DOUBLE) * MAX(sv)) END, 9) AS gini
        |FROM folded
        |GROUP BY g
        |ORDER BY g ASC NULLS LAST""".stripMargin

@@ -46,23 +46,33 @@ object Ols {
       .orderBy(col("g").asc_nulls_last)
   }
 
-  /** Q147: regress l_extendedprice on l_quantity per return flag —
-    * price scales near-linearly with quantity within a flag, so R²
-    * lands high and the per-flag slopes are the per-unit price. */
+  /** Q147: regress net revenue (l_extendedprice·(1−l_discount)) on
+    * gross price per return flag. The relation is structural — y =
+    * x·(1−d) with d ∈ [0, 0.1] — so the fit is guaranteed by
+    * construction, not by a generator accident: slope = the flag's
+    * average retained fraction (≈ 1 − mean discount ≈ 0.95), and R²
+    * is pinned near 1 because the discount jitter is ≤10% of x.
+    * (Round-10 premise repair: the fixture generates l_extendedprice
+    * independently of l_quantity — unlike real TPC-H — so the r9
+    * price~quantity regression measured noise; VERDICT r9 item 3.) */
   private def q147(s: SparkSession, dir: String): DataFrame =
     olsByGroup(Tables.t(s, dir, "lineitem").select(
-      col("l_returnflag").as("g"), col("l_quantity").as("x"),
-      col("l_extendedprice").as("y")))
+      col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y")))
 
   private val q147Sql =
-    """WITH m AS (
-      |  SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy
-      |  FROM lineitem GROUP BY 1),
+    """WITH b AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS x,
+      |    l_extendedprice * (1.0 - l_discount) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      |  FROM b GROUP BY 1),
       |d AS (
       |  SELECT g, n, sx, sy,
       |    n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,

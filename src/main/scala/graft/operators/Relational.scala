@@ -269,12 +269,26 @@ object Relational {
       |ORDER BY n_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST, n ASC NULLS LAST""".stripMargin
 
   /** Q11 approx distinct (HLL++). No SQL oracle — HLL estimates are
-    * implementation-specific; RelationalSpec asserts ±5 % of exact. */
+    * implementation-specific; RelationalSpec asserts ±5 % of exact, and
+    * [[q11exact]] is the driver-checked exact twin on the SAME columns
+    * (the q90_distinct_exact pattern — VERDICT r9 item 7), so the
+    * tolerance claim is anchored to a driver-green exact row. */
   private def q11(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_part"),
         approx_count_distinct(col("l_suppkey")).as("approx_supp"))
+
+  private def q11exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_part"),
+        countDistinct(col("l_suppkey")).as("exact_supp"))
+
+  private val q11exactSql =
+    """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_part,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supp
+      |FROM lineitem""".stripMargin
 
   // ---- G4: joins ---------------------------------------------------------
 
@@ -554,6 +568,7 @@ object Relational {
     QueryDef("q09_distinct_agg", q09, Some(q09Sql)),
     QueryDef("q10_rollup", q10, Some(q10Sql)),
     QueryDef("q11_approx_distinct", q11, None),
+    QueryDef("q11_distinct_exact", q11exact, Some(q11exactSql)),
     QueryDef("q12_join_sortmerge", q12, Some(q12Sql)),
     QueryDef("q13_join_broadcast", q13, Some(q13Sql)),
     QueryDef("q14_join_outer", q14, Some(q14Sql)),

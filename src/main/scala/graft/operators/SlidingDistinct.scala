@@ -62,7 +62,7 @@ object SlidingDistinct {
        |rolled AS (SELECT g, day, COUNT(*) AS wau FROM spread GROUP BY g, day)
        |SELECT d.g, d.day, d.dau, r.wau
        |FROM daily d JOIN rolled r ON d.g = r.g AND d.day = r.day
-       |ORDER BY g ASC NULLS LAST, day ASC NULLS LAST""".stripMargin
+       |ORDER BY d.g ASC NULLS LAST, d.day ASC NULLS LAST""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q149_sliding_distinct", q149, Some(q149Sql)))

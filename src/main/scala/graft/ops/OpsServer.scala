@@ -1,0 +1,153 @@
+package graft.ops
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+/** Minimal READ-ONLY operations surface (round-10, VERDICT r9 "What's
+  * missing" item 1): the reference ships a generated REST API plus a
+  * CLI against it (celeborn: openapi/openapi-client/, cli/src/main/
+  * scala/org/apache/celeborn/cli/CelebornCli.scala, worker/master
+  * `.../http/api/v1/...Resource.scala`); this engine's artifacts are
+  * files (metrics.jsonl, plan dumps, the bench board), so its
+  * operations plane is a tiny JDK-built-in HTTP server that serves
+  * those artifacts and the query registry over `/api/v1/...` — the
+  * surface an operator curls, zero new dependencies, zero mutation
+  * endpoints.
+  *
+  * Endpoints:
+  *   GET /api/v1/health               liveness + registry size
+  *   GET /api/v1/queries              registered query ids (+ oracle flag)
+  *   GET /api/v1/queries/{id}/sql     the registered DuckDB oracle SQL
+  *   GET /api/v1/bench                the bench board JSON (tracked copy)
+  *   GET /api/v1/metrics              metrics.jsonl from the last Verify
+  *   GET /api/v1/plans                available executed-plan artifacts
+  *   GET /api/v1/plans/{id}           one executed-plan dump
+  *
+  * Standalone: `sbt "runMain graft.ops.OpsServer 8642"` from the repo
+  * root (artifact paths are relative to the working directory).
+  * Embedded (tests, Runner): [[OpsServer.start]] with port 0 binds an
+  * ephemeral port. The server is a fixed-size artifact reader — no
+  * Spark session, no query execution, nothing writable.
+  */
+object OpsServer {
+
+  final case class Running(server: HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def reply(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def notFound(ex: HttpExchange, what: String): Unit =
+    reply(ex, 404, s"""{"error":"not found","what":${jsonStr(what)}}""")
+
+  private def serveFile(ex: HttpExchange, p: Path, contentType: String): Unit =
+    if (Files.isRegularFile(p))
+      reply(ex, 200, Files.readString(p, UTF_8), contentType)
+    else notFound(ex, p.toString)
+
+  /** First existing candidate wins — lets the tracked board and the
+    * target/ working copy both satisfy /bench. */
+  private def firstOf(paths: Seq[String]): Option[Path] =
+    paths.map(Paths.get(_)).find(Files.isRegularFile(_))
+
+  /** Query ids resolve lazily so a bare artifact server (no Spark jars
+    * exercised until the registry is first touched) starts instantly. */
+  private lazy val registry: Map[String, Option[String]] = {
+    val oracles = graft.SparkEntry.oracleSql
+    graft.SparkEntry.queries.keys.map(k => k -> oracles.get(k)).toMap
+  }
+
+  def start(port: Int,
+      benchPaths: Seq[String] = Seq("BENCH_BOARD.json", "target/bench_board.json"),
+      metricsPaths: Seq[String] = Seq("target/verify_plans/metrics.jsonl"),
+      plansDir: String = "target/verify_plans"): Running = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    server.createContext("/api/v1/health", (ex: HttpExchange) =>
+      reply(ex, 200,
+        s"""{"status":"ok","queries":${registry.size}}"""))
+
+    server.createContext("/api/v1/queries", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/queries")
+      path.split("/").filter(_.nonEmpty) match {
+        case Array() =>
+          val items = registry.toSeq.sortBy(_._1).map { case (k, o) =>
+            s"""{"id":${jsonStr(k)},"has_oracle":${o.isDefined}}"""
+          }.mkString("[", ",", "]")
+          reply(ex, 200, s"""{"queries":$items}""")
+        case Array(id, "sql") =>
+          registry.get(id) match {
+            case Some(Some(sql)) => reply(ex, 200, sql, "text/plain; charset=utf-8")
+            case Some(None) => notFound(ex, s"$id has no registered oracle")
+            case None => notFound(ex, id)
+          }
+        case _ => notFound(ex, path)
+      }
+    })
+
+    server.createContext("/api/v1/bench", (ex: HttpExchange) =>
+      firstOf(benchPaths) match {
+        case Some(p) => serveFile(ex, p, "application/json")
+        case None => notFound(ex, benchPaths.mkString(" | "))
+      })
+
+    server.createContext("/api/v1/metrics", (ex: HttpExchange) =>
+      firstOf(metricsPaths) match {
+        case Some(p) => serveFile(ex, p, "application/x-ndjson")
+        case None => notFound(ex, metricsPaths.mkString(" | "))
+      })
+
+    server.createContext("/api/v1/plans", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/plans")
+      val dir = Paths.get(plansDir)
+      path.split("/").filter(_.nonEmpty) match {
+        case Array() =>
+          val names =
+            if (Files.isDirectory(dir))
+              scala.jdk.CollectionConverters.IteratorHasAsScala(
+                Files.list(dir).iterator()).asScala
+                .map(_.getFileName.toString)
+                .filter(_.endsWith(".plan.txt"))
+                .map(_.stripSuffix(".plan.txt")).toSeq.sorted
+            else Seq.empty
+          reply(ex, 200,
+            names.map(jsonStr).mkString("""{"plans":[""", ",", "]}"))
+        case Array(id) if id.matches("[A-Za-z0-9_]+") =>
+          serveFile(ex, dir.resolve(s"$id.plan.txt"), "text/plain; charset=utf-8")
+        case _ => notFound(ex, path)
+      }
+    })
+
+    server.setExecutor(null) // default single-thread executor: read-only, tiny payloads
+    server.start()
+    Running(server)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val port = if (args.nonEmpty) args(0).toInt else 8642
+    val running = start(port)
+    println(s"graft ops server listening on http://127.0.0.1:${running.port}/api/v1/health")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The read-only ops surface (graft.ops.OpsServer): endpoint routing,
+  * registry exposure, artifact serving, and the no-mutation guarantee.
+  * No Spark session — the server is a pure artifact reader. */
+class OpsServerSpec extends AnyFunSuite {
+
+  private def withServer(test: (Int, HttpClient) => Unit): Unit = {
+    // a temp dir with one plan artifact + a board file exercises the
+    // file-backed endpoints hermetically
+    val dir = Files.createTempDirectory("graft_ops_spec")
+    Files.writeString(dir.resolve("q07_tpch_q1.plan.txt"), "== Physical Plan ==\nstub")
+    val board = dir.resolve("board.json")
+    Files.writeString(board, """{"metric":"total","value":1.0}""")
+    val metrics = dir.resolve("metrics.jsonl")
+    Files.writeString(metrics, """{"query":"q07_tpch_q1","wallMs":42}""" + "\n")
+    val running = ops.OpsServer.start(0,
+      benchPaths = Seq(board.toString),
+      metricsPaths = Seq(metrics.toString),
+      plansDir = dir.toString)
+    try test(running.port, HttpClient.newHttpClient())
+    finally running.stop()
+  }
+
+  private def get(c: HttpClient, port: Int, path: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health reports the full registry size") {
+    withServer { (port, c) =>
+      val r = get(c, port, "/api/v1/health")
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("\"status\":\"ok\""))
+      val n = "\"queries\":(\\d+)".r.findFirstMatchIn(r.body()).get.group(1).toInt
+      assert(n == SparkEntry.queries.size, s"registry size drift: $n")
+    }
+  }
+
+  test("queries lists every registry id with its oracle flag") {
+    withServer { (port, c) =>
+      val body = get(c, port, "/api/v1/queries").body()
+      assert(body.contains("\"id\":\"q07_tpch_q1\""))
+      assert(body.contains("\"id\":\"q11_approx_distinct\",\"has_oracle\":false"))
+      assert(body.contains("\"id\":\"q11_distinct_exact\",\"has_oracle\":true"))
+    }
+  }
+
+  test("oracle sql round-trips verbatim; missing oracle is a 404") {
+    withServer { (port, c) =>
+      val sql = get(c, port, "/api/v1/queries/q07_tpch_q1/sql")
+      assert(sql.statusCode() == 200)
+      assert(sql.body() == SparkEntry.oracleSql("q07_tpch_q1"))
+      assert(get(c, port, "/api/v1/queries/q11_approx_distinct/sql").statusCode() == 404)
+      assert(get(c, port, "/api/v1/queries/nope/sql").statusCode() == 404)
+    }
+  }
+
+  test("bench, metrics, and plan artifacts are served read-only") {
+    withServer { (port, c) =>
+      assert(get(c, port, "/api/v1/bench").body().contains("\"metric\":\"total\""))
+      assert(get(c, port, "/api/v1/metrics").body().contains("\"wallMs\":42"))
+      assert(get(c, port, "/api/v1/plans").body() == """{"plans":["q07_tpch_q1"]}""")
+      assert(get(c, port, "/api/v1/plans/q07_tpch_q1").body().contains("Physical Plan"))
+      assert(get(c, port, "/api/v1/plans/other").statusCode() == 404)
+      // path traversal must not escape the plans dir
+      assert(get(c, port, "/api/v1/plans/..%2Fboard").statusCode() == 404)
+    }
+  }
+}

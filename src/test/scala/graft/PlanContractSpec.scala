@@ -33,7 +33,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q01_scan_filter", "q03_repartition_hash", "q04_repartition_rr",
     "q05_orderby_range", "q06_groupby_count", "q07_tpch_q1",
     "q08_combine_avg", "q09_distinct_agg", "q10_rollup",
-    "q11_approx_distinct", "q12_join_sortmerge", "q13_join_broadcast",
+    "q11_approx_distinct", "q11_distinct_exact",
+    "q12_join_sortmerge", "q13_join_broadcast",
     "q14_join_outer", "q15_join_semi_anti", "q16_join_skew",
     "q17_join_theta", "q18_window_rank", "q19_window_frame", "q20_topk",
     "q21_setops", "q22_scalar_funcs", "q23_array_funcs", "q23_json_funcs",

@@ -24,13 +24,18 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(got("b") == ((-0.5, 10.0, 1.0)), s"planted line b: ${got("b")}")
   }
 
-  test("q147 registry: high r2 on the price~quantity relation; slopes positive") {
+  test("q147 registry: net revenue ~ gross price is structural — slope ≈ mean " +
+      "retained fraction, r2 pinned high") {
+    // y = x·(1−d) with d ∈ [0, 0.1] by construction, so the fit is
+    // guaranteed by algebra, not by a generator accident (VERDICT r9 #3)
     val rows = SparkEntry.queries("q147_ols_by_group")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getDouble(2) > 0, s"price must rise with quantity: $r")
+      val slope = r.getDouble(2)
+      assert(slope > 0.89 && slope < 1.0,
+        s"slope must be the retained fraction 1−E[d] ∈ (0.9, 1): $r")
       val r2 = r.getDouble(4)
-      assert(r2 > 0 && r2 <= 1.0, s"r2 out of range: $r")
+      assert(r2 > 0.95 && r2 <= 1.0, s"r2 must be pinned near 1: $r")
     }
   }
 

@@ -62,13 +62,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
-  test("q11 approx distinct within 5% of exact") {
+  test("q11 approx distinct within 5% of the registered exact twin") {
     val row = SparkEntry.queries("q11_approx_distinct")(spark, sf).collect()(0)
-    val approxPart = row.getAs[Long]("approx_part")
-    val exact = Tables.t(spark, sf, "lineitem")
-      .select("l_partkey").distinct().count()
-    assert(math.abs(approxPart - exact).toDouble / exact < 0.05,
-      s"approx=$approxPart exact=$exact")
+    // the tolerance is anchored to the driver-checked q11_distinct_exact
+    // registry row (same columns, DuckDB-replayed), not an ad-hoc count
+    val ex = SparkEntry.queries("q11_distinct_exact")(spark, sf).collect()(0)
+    Seq(("approx_part", "exact_part"), ("approx_supp", "exact_supp"))
+      .foreach { case (a, e) =>
+        val approx = row.getAs[Long](a)
+        val exact = ex.getAs[Long](e)
+        assert(math.abs(approx - exact).toDouble / exact < 0.05,
+          s"$a=$approx $e=$exact")
+      }
   }
 
   test("q01 pushes filter and projection into the parquet scan") {
