@@ -16,6 +16,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks the driver's JSON
+// parse of Bench's compact last-line headline (BENCH_r10 "parsed":
+// null — VERDICT r10 item 3/5).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -150,7 +150,11 @@ object Bench {
     // fails (BENCH_r08/r09 "parsed": null — VERDICT r9 item 6). Here:
     // totals + the slowest queries, ms precision, with an explicit
     // truncation count and a pointer to the tracked full board.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"$v%.3f" uses the JVM default locale — under a
+    // comma-decimal locale (de_DE) it emits "1,234", invalid JSON on
+    // exactly the line added for driver parsing (ADVICE r10).
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = ok.sortBy(-_._2)
     val topN = slowest.take(20)
     val compactQs = topN.map { case (k, v) => "\"" + k + "\":" + ms(v) }

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * the top bin at its true mass, so a single outlier can no longer
   * stretch the bin width and erase the body's resolution (the old
   * failure: skew-fixture Gini read 0.50 vs exact 0.99; the law in
-  * ProfilingOpsSpec now holds within 0.02). Cost: two refinement
-  * scans + one range pass + one binned aggregate — all map +
-  * bins-sized keyed aggregates, no per-group sort.
+  * ProfilingOpsSpec now holds within 0.02). Cost: three cap scans
+  * (range init + 2 refinement passes, brackets checkpointed per pass —
+  * round-11 lineage fix) + one range pass + one binned aggregate = 5
+  * scans — all map + bins-sized keyed aggregates, no per-group sort.
   *
   * Determinism/oracle: counts are exact integers, bin masses are
   * exact DECIMAL(38,12) sums (order-independent), the cumulative fold

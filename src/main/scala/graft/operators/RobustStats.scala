@@ -150,8 +150,20 @@ object RobustStats {
     * 3 passes → 0.12). This is the classic distributed
     * selection-in-rounds: each pass is one scan + one ≤B-row keyed
     * aggregate, parallelism never depends on |groups|, and no per-group
-    * sort exists anywhere — the 100 TB shape, at the price of `passes`
-    * scans of the base.
+    * sort exists anywhere — the 100 TB shape, at the price of
+    * `passes + 1` scans of the base (range init + one per pass).
+    *
+    * Lineage discipline (round-11 fix, VERDICT r10 item 1): the
+    * ≤|groups|-row bracket frame is `localCheckpoint()`ed after the
+    * init and after every pass, and the final estimate frame is
+    * checkpointed before returning — the same per-round lineage cut
+    * q55/q74/q101 use. Without it each pass re-embedded every parent
+    * pass's plan inline (`base` appeared ~2^(passes+1) times) and
+    * q150's executed plan held 256 parquet scans; with it the plan is
+    * exactly the documented passes+1 scans, and callers that join the
+    * result repeatedly (q150 joins `med` twice) pay zero re-derivation.
+    * Checkpointing is EAGER: calling this function runs the refinement
+    * jobs immediately and returns a materialized ≤|groups|-row frame.
     *
     * Determinism/oracle: membership in pass k replays the parent
     * passes' exact bin formula — pure +,−,×,÷, floor on doubles plus
@@ -191,6 +203,7 @@ object RobustStats {
       count(lit(1)).as("n"))
       .withColumn("t", ceil(lit(q) * col("n")).cast("long"))
       .withColumn("c_lo", lit(0L))
+      .localCheckpoint()
     for (k <- 1 to passes) {
       val win = base.join(broadcast(br), Seq("g"))
         .where(member(k))
@@ -207,6 +220,7 @@ object RobustStats {
           (col(s"lo$k") + col(s"w$k") * (col("bin").cast("double") +
             (col("t") - col("c_lo") - col("cum_before")).cast("double") /
               col("cnt").cast("double"))).as("q_est"))
+          .localCheckpoint()
       val carried = (1 until k).flatMap(i =>
         Seq(col(s"lo$i"), col(s"w$i"), col(s"bin$i")))
       br = win.select(Seq(col("g")) ++ carried ++ Seq(
@@ -216,6 +230,7 @@ object RobustStats {
         (col(s"w$k") / lit(B.toDouble)).as(s"w${k + 1}"),
         col("n"), col("t"),
         (col("c_lo") + col("cum_before")).as("c_lo")): _*)
+        .localCheckpoint()
     }
     sys.error("unreachable")
   }
@@ -439,8 +454,272 @@ object RobustStats {
        |GROUP BY 1, 2
        |ORDER BY g ASC NULLS LAST, decile ASC NULLS LAST""".stripMargin
 
+  // ------------------------------------------------------------- q152
+  /** PUBLIC API — the UNIFIED robust profile (round-11, VERDICT r10
+    * item 6): q123/q124/q126/q150/q151 each rescanned the corpus to
+    * build the same per-group histogram; a real 100 TB profiler
+    * computes ALL the statistics from one shared sketch. Three corpus
+    * scans total, each checkpointed so nothing ever re-derives:
+    *   scan 1  per-group range (lo, hi, n);
+    *   scan 2  the (bin, cnt, Σx) histogram — ≤B·|groups| rows;
+    *           quantiles (p50/p90/p99), winsorize caps (p05/p95) and
+    *           the Lorenz/Gini fold all derive from it without
+    *           touching the corpus again;
+    *   scan 3  ONE combined row pass aggregated on (g, decile,
+    *           dev-bin): sketch-CDF decile occupancy (q126's law), the
+    *           |x − p50| deviation histogram (→ MAD + outlier-mass
+    *           estimate), and the winsorized sum / clamp counts.
+    * Everything downstream of the scans is ≤10·B rows per group; no
+    * per-group sort, no collect, parallelism never depends on
+    * |groups|.
+    *
+    * Precision contract (all deterministic, DuckDB-replayed exactly):
+    * quantiles/caps within one bin width (q123's bound); MAD within
+    * one deviation-bin width (dmax/B) of the deviation median;
+    * `n_out_est` is the uniform-in-bin interpolated tail mass of the
+    * deviation histogram (a double ESTIMATE — q150 stays the
+    * refinement-hardened exact counter); `gini` is the UNCAPPED
+    * histogram fold (a far outlier coarsens its bins — q151 stays the
+    * p99-capped audit). Laws pinned in ProfilingOpsSpec. */
+  def profile(s: SparkSession, base: DataFrame): DataFrame = {
+    val rng = rangeOf(base).localCheckpoint() // ----------------- scan 1
+    val wc = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
+    val hist = base.join(broadcast(rng), Seq("g")) // ------------ scan 2
+      .withColumn("bin", binOf)
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x").cast("decimal(38,12)")).as("sx"))
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("sv", sum(col("sx")).over(wc).cast("double"))
+      .withColumn("sv_before",
+        (sum(col("sx")).over(wc) - col("sx")).cast("double"))
+      .join(broadcast(rng), Seq("g"))
+      .withColumn("w", widthCol)
+      .localCheckpoint()
+    // quantile pivot, Gini fold, and the per-group profile frame: all
+    // bins-sized lineage over the two checkpointed frames
+    val pv = sketchQuantiles(s, hist, Seq(0.05, 0.5, 0.9, 0.95, 0.99))
+      .groupBy(col("g")).agg(
+        min(when(col("q") === 0.05, col("q_est"))).as("p_lo"),
+        min(when(col("q") === 0.5, col("q_est"))).as("med"),
+        min(when(col("q") === 0.9, col("q_est"))).as("p90"),
+        min(when(col("q") === 0.95, col("q_est"))).as("p_hi"),
+        min(when(col("q") === 0.99, col("q_est"))).as("p99"))
+    val giniF = hist.groupBy(col("g")).agg(
+      min(col("n")).as("gn"),
+      sum((col("cnt").cast("double") * (col("sv_before") + col("sv")))
+        .cast("decimal(38,12)")).cast("double").as("gnum"),
+      max(col("sv")).as("stot"))
+      .select(col("g"),
+        when(col("stot") === 0.0, lit(0.0))
+          .otherwise(lit(1.0) - col("gnum") /
+            (col("gn").cast("double") * col("stot"))).as("gini"))
+    val prof = rng.join(pv, Seq("g"))
+      .withColumn("w", widthCol)
+      .withColumn("dmax",
+        greatest(col("hi") - col("med"), col("med") - col("lo")))
+      .withColumn("dw", col("dmax") / lit(B.toDouble))
+    val rows = base.join(broadcast(prof), Seq("g")) // ----------- scan 3
+      .withColumn("bin", binOf)
+      .join(broadcast(hist.select(col("g"), col("bin"), col("cnt"),
+        col("cum_before"))), Seq("g", "bin"))
+      .withColumn("frac",
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise(least((col("x") - col("lo")) / col("w")
+            - col("bin").cast("double"), lit(1.0))))
+      .withColumn("pr", (col("cum_before").cast("double") +
+        col("cnt").cast("double") * col("frac")) / col("n").cast("double"))
+      .withColumn("decile", least(floor(col("pr") * 10).cast("int"), lit(9)))
+      .withColumn("dev", abs(col("x") - col("med")))
+      .withColumn("dbin", when(col("dw") <= 0.0, lit(0))
+        .otherwise(least(floor(col("dev") / col("dw")),
+          lit((B - 1).toDouble)).cast("int")))
+      .withColumn("capped",
+        when(col("x") < col("p_lo"), col("p_lo"))
+          .when(col("x") > col("p_hi"), col("p_hi"))
+          .otherwise(col("x")))
+    val cells = rows.groupBy(col("g"), col("decile"), col("dbin"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("capped").cast("decimal(28,6)")).as("scap"),
+        sum(when(col("x") < col("p_lo"), 1L).otherwise(0L)).as("c_lo"),
+        sum(when(col("x") > col("p_hi"), 1L).otherwise(0L)).as("c_hi"),
+        min(col("n")).as("n"))
+      .localCheckpoint()
+    val decdev = cells.groupBy(col("g"), col("decile"))
+      .agg(sum(col("cnt")).as("dcnt"), min(col("n")).as("n"))
+      .groupBy(col("g"))
+      .agg(max(abs(col("dcnt").cast("double") / col("n").cast("double")
+        - lit(0.1))).as("dec_maxdev"))
+    val wdc = Window.partitionBy(col("g")).orderBy(col("dbin").asc_nulls_last)
+    val devh = cells.groupBy(col("g"), col("dbin"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("n")).as("n"))
+      .withColumn("cum", sum(col("cnt")).over(wdc))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+      .withColumn("t", ceil(lit(0.5) * col("n")).cast("long"))
+    val madh = devh.where(col("cum") >= col("t"))
+      .withColumn("rk", row_number().over(wdc))
+      .where(col("rk") === 1)
+      .join(prof.select(col("g"), col("dw")), Seq("g"))
+      .select(col("g"), (col("dw") * (col("dbin").cast("double") +
+        (col("t") - col("cum_before")).cast("double") /
+          col("cnt").cast("double"))).as("mad"))
+    // interpolated tail mass beyond 3·1.4826·MAD: per-bin contribution
+    // cnt·clamp(thr/dw − dbin, 0, 1); decimal-accumulated so the ≤B-row
+    // double sum is order-independent (Canon.dsum discipline)
+    val nout = devh.join(madh, Seq("g"))
+      .join(prof.select(col("g"), col("dw")), Seq("g"))
+      .withColumn("contrib",
+        when(col("dw") <= 0.0, col("cnt").cast("double"))
+          .otherwise(col("cnt").cast("double") * greatest(least(
+            lit(3.0 * 1.4826) * col("mad") / col("dw")
+              - col("dbin").cast("double"), lit(1.0)), lit(0.0))))
+      .groupBy(col("g"))
+      .agg(min(col("n")).as("n"),
+        sum(col("contrib").cast("decimal(38,12)")).as("n_le"))
+      .select(col("g"),
+        (col("n").cast("double") - col("n_le").cast("double"))
+          .as("n_out_est"))
+    val winsor = cells.groupBy(col("g"))
+      .agg(sum(col("scap")).as("scap"),
+        sum(col("c_lo")).as("n_lo"), sum(col("c_hi")).as("n_hi"))
+    prof.select(col("g"), col("n"), col("med"), col("p90"), col("p99"),
+        col("p_lo"), col("p_hi"))
+      .join(giniF, Seq("g"))
+      .join(decdev, Seq("g")).join(madh, Seq("g"))
+      .join(nout, Seq("g")).join(winsor, Seq("g"))
+      .select(col("g"), col("n"),
+        round(col("med"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"),
+        round(col("p99"), 6).as("p99"),
+        round(col("p_lo"), 6).as("p_lo"),
+        round(col("p_hi"), 6).as("p_hi"),
+        round(col("scap").cast("double"), 4).as("wsum"),
+        col("n_lo"), col("n_hi"),
+        round(col("dec_maxdev"), 6).as("dec_maxdev"),
+        round(col("mad"), 6).as("mad"),
+        round(col("n_out_est"), 3).as("n_out_est"),
+        round(col("gini"), 9).as("gini"))
+      .orderBy(col("g").asc_nulls_last)
+  }
+
+  /** Q152: the unified robust profile of l_extendedprice per return
+    * flag — the shared-scan replacement for running
+    * q123+q124+q126+q150+q151 separately. */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    profile(s, Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
+
+  private val q152Sql = {
+    val binX = binSqlOf("b.x")
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+       |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n
+       |  FROM base GROUP BY g),
+       |binned AS (
+       |  SELECT b.g, $binX AS bin, COUNT(*) AS cnt,
+       |    SUM(CAST(b.x AS DECIMAL(38,12))) AS sx
+       |  FROM base b JOIN rng USING (g) GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, bin, cnt, sx,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) - cnt AS cum_before,
+       |    CAST(SUM(sx) OVER (PARTITION BY g ORDER BY bin ASC) AS DOUBLE) AS sv,
+       |    CAST(SUM(sx) OVER (PARTITION BY g ORDER BY bin ASC) - sx AS DOUBLE) AS sv_before
+       |  FROM binned),
+       |${sketchQuantilesSqlFor("", Seq(0.05, 0.5, 0.9, 0.95, 0.99))},
+       |pv AS (
+       |  SELECT g,
+       |    MIN(CASE WHEN q = 0.05::DOUBLE THEN q_est END) AS p_lo,
+       |    MIN(CASE WHEN q = 0.5::DOUBLE THEN q_est END) AS med,
+       |    MIN(CASE WHEN q = 0.9::DOUBLE THEN q_est END) AS p90,
+       |    MIN(CASE WHEN q = 0.95::DOUBLE THEN q_est END) AS p_hi,
+       |    MIN(CASE WHEN q = 0.99::DOUBLE THEN q_est END) AS p99
+       |  FROM qhit GROUP BY g),
+       |gini_t AS (
+       |  SELECT c.g, MIN(r.n) AS gn,
+       |    CAST(SUM(CAST(CAST(c.cnt AS DOUBLE) * (c.sv_before + c.sv)
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS gnum,
+       |    MAX(c.sv) AS stot
+       |  FROM cum c JOIN rng r USING (g) GROUP BY c.g),
+       |gini_f AS (
+       |  SELECT g, CASE WHEN stot = 0 THEN 0.0
+       |    ELSE 1.0 - gnum / (CAST(gn AS DOUBLE) * stot) END AS gini
+       |  FROM gini_t),
+       |prof AS (
+       |  SELECT r.g, r.lo, r.hi, (r.hi - r.lo) / ${B}.0 AS w, r.n,
+       |    pv.p_lo, pv.med, pv.p90, pv.p_hi, pv.p99,
+       |    GREATEST(r.hi - pv.med, pv.med - r.lo) / ${B}.0 AS dw
+       |  FROM rng r JOIN pv USING (g)),
+       |rows0 AS (
+       |  SELECT b.g, p.n, p.p_lo, p.p_hi, p.med, p.dw, b.x, c.cnt, c.cum_before,
+       |    CASE WHEN hi = lo THEN 1.0
+       |         ELSE LEAST((b.x - lo) / p.w - CAST(c.bin AS DOUBLE), 1.0) END AS frac
+       |  FROM base b JOIN prof p USING (g)
+       |    JOIN cum c ON c.g = b.g AND c.bin = $binX),
+       |rows_ AS (
+       |  SELECT g, n, p_lo, p_hi, x,
+       |    LEAST(CAST(FLOOR(((CAST(cum_before AS DOUBLE) + CAST(cnt AS DOUBLE) * frac)
+       |      / CAST(n AS DOUBLE)) * 10) AS INTEGER), 9) AS decile,
+       |    CASE WHEN dw <= 0 THEN 0
+       |         ELSE CAST(LEAST(FLOOR(ABS(x - med) / dw), ${B - 1}.0) AS INTEGER) END AS dbin,
+       |    CASE WHEN x < p_lo THEN p_lo WHEN x > p_hi THEN p_hi ELSE x END AS capped
+       |  FROM rows0),
+       |cells AS (
+       |  SELECT g, decile, dbin, COUNT(*) AS cnt,
+       |    SUM(CAST(capped AS DECIMAL(28,6))) AS scap,
+       |    SUM(CASE WHEN x < p_lo THEN 1 ELSE 0 END) AS c_lo,
+       |    SUM(CASE WHEN x > p_hi THEN 1 ELSE 0 END) AS c_hi,
+       |    MIN(n) AS n
+       |  FROM rows_ GROUP BY 1, 2, 3),
+       |decdev AS (
+       |  SELECT g, MAX(ABS(CAST(dcnt AS DOUBLE) / CAST(n AS DOUBLE) - 0.1::DOUBLE)) AS dec_maxdev
+       |  FROM (SELECT g, decile, SUM(cnt) AS dcnt, MIN(n) AS n
+       |        FROM cells GROUP BY 1, 2) dd
+       |  GROUP BY g),
+       |devh AS (
+       |  SELECT g, dbin, cnt, n,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY dbin ASC) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY g ORDER BY dbin ASC) - cnt AS cum_before,
+       |    CAST(CEIL(0.5::DOUBLE * n) AS BIGINT) AS t
+       |  FROM (SELECT g, dbin, SUM(cnt) AS cnt, MIN(n) AS n
+       |        FROM cells GROUP BY 1, 2) dh),
+       |madh AS (
+       |  SELECT d.g, p.dw * (CAST(d.dbin AS DOUBLE)
+       |    + CAST(d.t - d.cum_before AS DOUBLE) / CAST(d.cnt AS DOUBLE)) AS mad
+       |  FROM devh d JOIN prof p USING (g)
+       |  WHERE d.cum >= d.t
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY d.g ORDER BY d.dbin ASC) = 1),
+       |nout AS (
+       |  SELECT d.g,
+       |    CAST(MIN(d.n) AS DOUBLE) - CAST(SUM(CAST(
+       |      CASE WHEN p.dw <= 0 THEN CAST(d.cnt AS DOUBLE)
+       |           ELSE CAST(d.cnt AS DOUBLE) * GREATEST(LEAST(
+       |             ${3.0 * 1.4826}::DOUBLE * m.mad / p.dw - CAST(d.dbin AS DOUBLE),
+       |             1.0), 0.0) END
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS n_out_est
+       |  FROM devh d JOIN madh m USING (g) JOIN prof p USING (g)
+       |  GROUP BY d.g),
+       |winsor AS (
+       |  SELECT g, ROUND(CAST(SUM(scap) AS DOUBLE), 4) AS wsum,
+       |    CAST(SUM(c_lo) AS BIGINT) AS n_lo, CAST(SUM(c_hi) AS BIGINT) AS n_hi
+       |  FROM cells GROUP BY g)
+       |SELECT p.g, p.n,
+       |  ROUND(p.med, 6) AS p50, ROUND(p.p90, 6) AS p90, ROUND(p.p99, 6) AS p99,
+       |  ROUND(p.p_lo, 6) AS p_lo, ROUND(p.p_hi, 6) AS p_hi,
+       |  w.wsum, w.n_lo, w.n_hi,
+       |  ROUND(d.dec_maxdev, 6) AS dec_maxdev,
+       |  ROUND(m.mad, 6) AS mad,
+       |  ROUND(o.n_out_est, 3) AS n_out_est,
+       |  ROUND(gi.gini, 9) AS gini
+       |FROM prof p JOIN gini_f gi USING (g) JOIN decdev d USING (g)
+       |  JOIN madh m USING (g) JOIN nout o USING (g) JOIN winsor w USING (g)
+       |ORDER BY g ASC NULLS LAST""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q123_hist_quantiles", q123, Some(q123Sql)),
     QueryDef("q124_winsorize", q124, Some(q124Sql)),
-    QueryDef("q126_quantile_transform", q126, Some(q126Sql)))
+    QueryDef("q126_quantile_transform", q126, Some(q126Sql)),
+    QueryDef("q152_robust_profile", q152, Some(q152Sql)))
 }

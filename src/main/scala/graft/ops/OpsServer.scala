@@ -20,7 +20,8 @@ import java.nio.file.{Files, Path, Paths}
   *   GET /api/v1/health               liveness + registry size
   *   GET /api/v1/queries              registered query ids (+ oracle flag)
   *   GET /api/v1/queries/{id}/sql     the registered DuckDB oracle SQL
-  *   GET /api/v1/bench                the bench board JSON (tracked copy)
+  *   GET /api/v1/bench                the bench board JSON (newest copy)
+  *   GET /api/v1/correctness          latest driver CORRECTNESS_r*.json
   *   GET /api/v1/metrics              metrics.jsonl from the last Verify
   *   GET /api/v1/plans                available executed-plan artifacts
   *   GET /api/v1/plans/{id}           one executed-plan dump
@@ -61,15 +62,49 @@ object OpsServer {
   private def notFound(ex: HttpExchange, what: String): Unit =
     reply(ex, 404, s"""{"error":"not found","what":${jsonStr(what)}}""")
 
+  /** Served artifacts carry provenance headers (X-Graft-Source-Path /
+    * -Mtime) so an operator can always tell WHICH copy they got and how
+    * fresh it is (ADVICE r10: a stale tracked board served silently). */
   private def serveFile(ex: HttpExchange, p: Path, contentType: String): Unit =
-    if (Files.isRegularFile(p))
+    if (Files.isRegularFile(p)) {
+      ex.getResponseHeaders.set("X-Graft-Source-Path", p.toString)
+      ex.getResponseHeaders.set("X-Graft-Source-Mtime",
+        Files.getLastModifiedTime(p).toInstant.toString)
       reply(ex, 200, Files.readString(p, UTF_8), contentType)
-    else notFound(ex, p.toString)
+    } else notFound(ex, p.toString)
 
   /** First existing candidate wins — lets the tracked board and the
-    * target/ working copy both satisfy /bench. */
+    * target/ working copy both satisfy /metrics. */
   private def firstOf(paths: Seq[String]): Option[Path] =
     paths.map(Paths.get(_)).find(Files.isRegularFile(_))
+
+  /** NEWEST existing candidate by mtime — /bench must not serve the
+    * stale committed board after a SPARK_GRAFT_BENCH_ONLY dev run that
+    * only refreshed target/bench_board.json (ADVICE r10). */
+  private def newestOf(paths: Seq[String]): Option[Path] = {
+    val existing = paths.map(Paths.get(_)).filter(Files.isRegularFile(_))
+    if (existing.isEmpty) None
+    else Some(existing.maxBy(Files.getLastModifiedTime(_).toMillis))
+  }
+
+  /** Latest driver correctness artifact in `dir`: CORRECTNESS_r{N}.json
+    * with the highest round number (numeric, not lexicographic — r10
+    * must beat r9). */
+  private[ops] def latestCorrectness(dir: Path): Option[Path] = {
+    val Pat = raw"CORRECTNESS_r(\d+)\.json".r
+    if (!Files.isDirectory(dir)) None
+    else {
+      val s = Files.list(dir)
+      try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+          .flatMap(p => p.getFileName.toString match {
+            case Pat(n) => Some((n.toInt, p))
+            case _ => None
+          })
+          .toSeq.sortBy(-_._1).headOption.map(_._2)
+      } finally s.close()
+    }
+  }
 
   /** Query ids resolve lazily so a bare artifact server (no Spark jars
     * exercised until the registry is first touched) starts instantly. */
@@ -81,7 +116,8 @@ object OpsServer {
   def start(port: Int,
       benchPaths: Seq[String] = Seq("BENCH_BOARD.json", "target/bench_board.json"),
       metricsPaths: Seq[String] = Seq("target/verify_plans/metrics.jsonl"),
-      plansDir: String = "target/verify_plans"): Running = {
+      plansDir: String = "target/verify_plans",
+      correctnessDir: String = "."): Running = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     server.createContext("/api/v1/health", (ex: HttpExchange) =>
@@ -107,9 +143,15 @@ object OpsServer {
     })
 
     server.createContext("/api/v1/bench", (ex: HttpExchange) =>
-      firstOf(benchPaths) match {
+      newestOf(benchPaths) match {
         case Some(p) => serveFile(ex, p, "application/json")
         case None => notFound(ex, benchPaths.mkString(" | "))
+      })
+
+    server.createContext("/api/v1/correctness", (ex: HttpExchange) =>
+      latestCorrectness(Paths.get(correctnessDir)) match {
+        case Some(p) => serveFile(ex, p, "application/json")
+        case None => notFound(ex, s"$correctnessDir/CORRECTNESS_r*.json")
       })
 
     server.createContext("/api/v1/metrics", (ex: HttpExchange) =>
@@ -123,14 +165,18 @@ object OpsServer {
       val dir = Paths.get(plansDir)
       path.split("/").filter(_.nonEmpty) match {
         case Array() =>
+          // stream closed after materializing — Files.list leaks one fd
+          // per listing request otherwise (ADVICE r10)
           val names =
-            if (Files.isDirectory(dir))
-              scala.jdk.CollectionConverters.IteratorHasAsScala(
-                Files.list(dir).iterator()).asScala
+            if (Files.isDirectory(dir)) {
+              val s = Files.list(dir)
+              try scala.jdk.CollectionConverters.IteratorHasAsScala(
+                s.iterator()).asScala
                 .map(_.getFileName.toString)
                 .filter(_.endsWith(".plan.txt"))
                 .map(_.stripSuffix(".plan.txt")).toSeq.sorted
-            else Seq.empty
+              finally s.close()
+            } else Seq.empty
           reply(ex, 200,
             names.map(jsonStr).mkString("""{"plans":[""", ",", "]}"))
         case Array(id) if id.matches("[A-Za-z0-9_]+") =>

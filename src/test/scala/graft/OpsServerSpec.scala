@@ -19,10 +19,15 @@ class OpsServerSpec extends AnyFunSuite {
     Files.writeString(board, """{"metric":"total","value":1.0}""")
     val metrics = dir.resolve("metrics.jsonl")
     Files.writeString(metrics, """{"query":"q07_tpch_q1","wallMs":42}""" + "\n")
+    // two correctness rounds: /correctness must pick r10 numerically
+    // (r10 > r9 by round number, not lexicographically)
+    Files.writeString(dir.resolve("CORRECTNESS_r9.json"), """{"round":9}""")
+    Files.writeString(dir.resolve("CORRECTNESS_r10.json"), """{"round":10}""")
     val running = ops.OpsServer.start(0,
       benchPaths = Seq(board.toString),
       metricsPaths = Seq(metrics.toString),
-      plansDir = dir.toString)
+      plansDir = dir.toString,
+      correctnessDir = dir.toString)
     try test(running.port, HttpClient.newHttpClient())
     finally running.stop()
   }
@@ -70,5 +75,34 @@ class OpsServerSpec extends AnyFunSuite {
       // path traversal must not escape the plans dir
       assert(get(c, port, "/api/v1/plans/..%2Fboard").statusCode() == 404)
     }
+  }
+
+  test("correctness serves the latest round with provenance headers") {
+    withServer { (port, c) =>
+      val r = get(c, port, "/api/v1/correctness")
+      assert(r.statusCode() == 200)
+      assert(r.body() == """{"round":10}""", "must pick r10 over r9 numerically")
+      val src = r.headers().firstValue("X-Graft-Source-Path")
+      assert(src.isPresent && src.get.endsWith("CORRECTNESS_r10.json"))
+      assert(r.headers().firstValue("X-Graft-Source-Mtime").isPresent)
+    }
+  }
+
+  test("bench prefers the NEWEST candidate board by mtime") {
+    val dir = Files.createTempDirectory("graft_ops_bench")
+    val stale = dir.resolve("tracked.json")
+    val fresh = dir.resolve("dev.json")
+    Files.writeString(stale, """{"which":"stale"}""")
+    Files.writeString(fresh, """{"which":"fresh"}""")
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        Files.getLastModifiedTime(fresh).toMillis - 60000))
+    // stale listed FIRST — the old first-existing rule would serve it
+    val running = ops.OpsServer.start(0,
+      benchPaths = Seq(stale.toString, fresh.toString))
+    try {
+      val r = get(HttpClient.newHttpClient(), running.port, "/api/v1/bench")
+      assert(r.body() == """{"which":"fresh"}""")
+    } finally running.stop()
   }
 }

@@ -102,4 +102,44 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(got("even") < 0.05 && got("skew") > 0.9 && got("mixed") > 0.2,
       s"extremes disordered: $got")
   }
+
+  test("q152: the unified profile agrees with its parts on a planted uniform") {
+    // x = 1..1000 uniform: every statistic has a closed form; bin width
+    // (hi−lo)/256 ≈ 3.9 bounds the sketch quantiles, dmax/256 ≈ 2 the MAD
+    val df = (1 to 1000).map(i => ("u", i.toDouble)).toDF("g", "x")
+    val r = operators.RobustStats.profile(spark, df).collect()(0)
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("n") == 1000L)
+    assert(math.abs(m("p50").asInstanceOf[Double] - 500.0) < 5.0, s"p50: $m")
+    assert(math.abs(m("p90").asInstanceOf[Double] - 900.0) < 5.0, s"p90: $m")
+    assert(math.abs(m("p_lo").asInstanceOf[Double] - 50.0) < 5.0, s"p_lo: $m")
+    assert(math.abs(m("p_hi").asInstanceOf[Double] - 950.0) < 5.0, s"p_hi: $m")
+    // MAD of uniform = range/4; tolerance = quantile err + dev-bin width
+    assert(math.abs(m("mad").asInstanceOf[Double] - 250.0) < 8.0, s"mad: $m")
+    // a correct CDF transform fills every decile to ≈10%
+    assert(m("dec_maxdev").asInstanceOf[Double] < 0.02, s"dec_maxdev: $m")
+    // 3·1.4826·MAD ≈ 1112 > dmax ≈ 500 ⇒ zero outlier mass, exactly
+    assert(m("n_out_est").asInstanceOf[Double] == 0.0, s"n_out_est: $m")
+    // Gini of uniform 1..n → 1/3·(n−1)/(n+1) ≈ 0.333
+    assert(math.abs(m("gini").asInstanceOf[Double] - 0.333) < 0.02, s"gini: $m")
+    // clamp counts: ≈5% per tail, within one bin of mass (≈4 rows/bin)
+    assert(math.abs(m("n_lo").asInstanceOf[Long] - 50L) <= 6, s"n_lo: $m")
+    assert(math.abs(m("n_hi").asInstanceOf[Long] - 50L) <= 6, s"n_hi: $m")
+  }
+
+  test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
+    // same histogram, same interpolation tree ⇒ EXACT equality, not
+    // tolerance — the profile is a shared-scan refactor of q124's caps
+    val df = (1 to 500).map(i => ("a", (i * 7 % 97).toDouble)) ++
+      (1 to 300).map(i => ("b", (i * i % 53).toDouble))
+    val prof = operators.RobustStats.profile(spark, df.toDF("g", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(5), r.getDouble(6))).toMap // (p_lo, p_hi) rounded 6
+    val caps = operators.RobustStats
+      .winsorizeSketchCaps(spark, df.toDF("g", "x"))
+      .collect().map(r => r.getString(0) ->
+        (math.rint(r.getDouble(1) * 1e6) / 1e6,
+          math.rint(r.getDouble(2) * 1e6) / 1e6)).toMap
+    assert(prof == caps, s"profile caps drifted from q124's: $prof vs $caps")
+  }
 }
