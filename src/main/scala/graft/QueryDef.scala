@@ -84,6 +84,7 @@ object Registry {
       operators.SlidingDistinct.defs ++
       operators.Mad.defs ++
       operators.Gini.defs ++
+      operators.Drift.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

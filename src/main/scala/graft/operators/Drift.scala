@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11: DISTRIBUTION DRIFT between two snapshots of the same
+  * population — the monitor a training-data pipeline runs when a new
+  * crawl/batch lands: "did the value distribution move, by how much,
+  * and where". The classic score is PSI (Σ(p−q)·ln(p/q)), but ln
+  * breaks the engine/oracle bit-parity discipline (only +−×÷/floor
+  * replay exactly across Spark and DuckDB), so the registry entry
+  * reports the two standard transcendental-free divergences:
+  * total-variation distance TVD = ½·Σ|p_A − p_B| (the max probability
+  * mass any event's frequency moved, 0..1) and the symmetrized
+  * chi-square Σ(p_A−p_B)²/(p_A+p_B) (0..2, quadratic — small drift
+  * everywhere vs large drift somewhere separate cleanly), plus the bin
+  * edge where |p_A − p_B| peaks (`drift_at` — WHERE the distribution
+  * moved).
+  *
+  * Spark-first shape: one shared-range pass over BOTH periods (the
+  * grids must match or the divergences are meaningless), one
+  * (g, bin)-keyed histogram with per-period counts folded map-side,
+  * everything downstream ≤B rows per group — two corpus scans total,
+  * no per-group sort, parallelism independent of |groups|. Both
+  * period counters come from ONE scan (conditional sums), not a scan
+  * per period.
+  *
+  * Determinism/oracle: counts are exact integers; rates, |Δ|, and the
+  * χ² terms are the shared +−×÷ double tree; per-group folds
+  * decimal-accumulate (order-independent); the peak bin tie-breaks on
+  * the lower bin id — DuckDB re-derives every number exactly. A group
+  * missing either period is dropped (drift against an empty snapshot
+  * is undefined); a degenerate group (hi = lo) collapses to one bin
+  * with p_A = p_B = 1 → TVD = χ² = 0, the correct "no drift" verdict. */
+object Drift {
+
+  private val B = RobustStats.B
+
+  /** PUBLIC API — per-group drift profile of a (g, period, x) frame,
+    * period ∈ {0 = baseline snapshot, 1 = new snapshot}:
+    * (g, n_a, n_b, tvd, chi2, drift_at). */
+  def histDrift(base: DataFrame): DataFrame = {
+    val rng = base.groupBy(col("g")) // ----------------------- scan 1
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .localCheckpoint()
+    val binOf =
+      when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(B.toDouble))).cast("int"),
+          lit(B - 1)))
+    val binned = base.join(broadcast(rng), Seq("g")) // -------- scan 2
+      .withColumn("bin", binOf)
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // ≤B·|groups| rows; reused by agg + peak
+    val tot = binned.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .where(col("na") > 0 && col("nb") > 0)
+    val rates = binned.join(broadcast(tot), Seq("g"))
+      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("d", abs(col("pa") - col("pb")))
+    val agg = rates.groupBy(col("g"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        // decimal-accumulated: the ≤B-row double folds must be
+        // order-independent for oracle parity (Canon.dsum discipline)
+        round(lit(0.5) * sum(col("d").cast("decimal(38,12)")).cast("double"), 6)
+          .as("tvd"),
+        round(sum(((col("pa") - col("pb")) * (col("pa") - col("pb")) /
+          (col("pa") + col("pb"))).cast("decimal(38,12)")).cast("double"), 6)
+          .as("chi2"))
+    val wpk = Window.partitionBy(col("g"))
+      .orderBy(col("d").desc_nulls_last, col("bin").asc_nulls_last)
+    val peak = rates.join(broadcast(rng), Seq("g"))
+      .withColumn("rk", row_number().over(wpk)).where(col("rk") === 1)
+      .select(col("g"), round(col("lo") + (col("hi") - col("lo")) /
+        lit(B.toDouble) * col("bin").cast("double"), 6).as("drift_at"))
+    agg.join(peak, Seq("g"))
+      .select(col("g"), col("n_a"), col("n_b"), col("tvd"), col("chi2"),
+        col("drift_at"))
+      .orderBy(col("g").asc_nulls_last)
+  }
+
+  /** PUBLIC API — CATEGORICAL drift of a (g, period, cat) frame: the
+    * numeric path bins values; categories ARE the bins, so the rates
+    * are exact and the peak is the category itself. Same divergences
+    * (TVD, symmetrized χ²), same one-scan dual-period fold, same
+    * decimal-accumulated order-independent sums; `drift_cat` is the
+    * category whose frequency moved most (ties → lexicographically
+    * first, deterministic on both engines). The corpus "source-mix
+    * moved under the new crawl" monitor. */
+  def catDrift(base: DataFrame): DataFrame = {
+    val binned = base.groupBy(col("g"), col("cat")) // -------- one scan
+      .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // ≤|categories|·|groups| rows
+    val tot = binned.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .where(col("na") > 0 && col("nb") > 0)
+    val rates = binned.join(broadcast(tot), Seq("g"))
+      .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("d", abs(col("pa") - col("pb")))
+    val agg = rates.groupBy(col("g"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        count(lit(1)).as("n_cats"),
+        round(lit(0.5) * sum(col("d").cast("decimal(38,12)")).cast("double"), 6)
+          .as("tvd"),
+        round(sum(((col("pa") - col("pb")) * (col("pa") - col("pb")) /
+          (col("pa") + col("pb"))).cast("decimal(38,12)")).cast("double"), 6)
+          .as("chi2"))
+    val wpk = Window.partitionBy(col("g"))
+      .orderBy(col("d").desc_nulls_last, col("cat").asc_nulls_last)
+    val peak = rates
+      .withColumn("rk", row_number().over(wpk)).where(col("rk") === 1)
+      .select(col("g"), col("cat").as("drift_cat"),
+        round(col("d"), 6).as("drift_d"))
+    agg.join(peak, Seq("g"))
+      .select(col("g"), col("n_a"), col("n_b"), col("n_cats"),
+        col("tvd"), col("chi2"), col("drift_cat"), col("drift_d"))
+      .orderBy(col("g").asc_nulls_last)
+  }
+
+  /** Q154: order-priority-mix drift per order status between the ≤1997
+    * / 1998+ order snapshots — "did the source composition move". */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    catDrift(Tables.t(s, dir, "orders")
+      .select(col("o_orderstatus").as("g"),
+        when(year(col("o_orderdate")) <= 1997, 0).otherwise(1).as("period"),
+        col("o_orderpriority").as("cat")))
+
+  private val q154Sql =
+    s"""WITH base AS (
+       |  SELECT o_orderstatus AS g,
+       |    CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997 THEN 0 ELSE 1 END AS period,
+       |    o_orderpriority AS cat
+       |  FROM orders),
+       |binned AS (
+       |  SELECT g, cat,
+       |    SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS ca,
+       |    SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM base GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT g, SUM(ca) AS na, SUM(cb) AS nb FROM binned GROUP BY g
+       |  HAVING SUM(ca) > 0 AND SUM(cb) > 0),
+       |rates AS (
+       |  SELECT n.g, n.cat, t.na, t.nb,
+       |    CAST(n.ca AS DOUBLE) / CAST(t.na AS DOUBLE) AS pa,
+       |    CAST(n.cb AS DOUBLE) / CAST(t.nb AS DOUBLE) AS pb,
+       |    ABS(CAST(n.ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+       |      - CAST(n.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS d
+       |  FROM binned n JOIN tot t USING (g)),
+       |agg AS (
+       |  SELECT g, CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+       |    COUNT(*) AS n_cats,
+       |    ROUND(0.5::DOUBLE * CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE), 6) AS tvd,
+       |    ROUND(CAST(SUM(CAST((pa - pb) * (pa - pb) / (pa + pb)
+       |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+       |  FROM rates GROUP BY g),
+       |peak AS (
+       |  SELECT g, cat AS drift_cat, ROUND(d, 6) AS drift_d
+       |  FROM (
+       |    SELECT g, cat, d,
+       |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY d DESC, cat ASC) AS rk
+       |    FROM rates) pk
+       |  WHERE rk = 1)
+       |SELECT a.g, a.n_a, a.n_b, a.n_cats, a.tvd, a.chi2, p.drift_cat, p.drift_d
+       |FROM agg a JOIN peak p USING (g)
+       |ORDER BY g ASC NULLS LAST""".stripMargin
+
+  /** Q153: l_extendedprice drift per return flag between the ≤1997 and
+    * 1998+ shipment snapshots (the fixture's l_shipdate spans
+    * 1995–2001, so this splits the corpus near its middle) — the "new
+    * crawl landed, did prices move" monitor shape. */
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    histDrift(Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        when(year(col("l_shipdate")) <= 1997, 0).otherwise(1).as("period"),
+        col("l_extendedprice").as("x")))
+
+  private val q153Sql = {
+    val binX = RobustStats.binSqlOf("b.x")
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g,
+       |    CASE WHEN EXTRACT(year FROM l_shipdate) <= 1997 THEN 0 ELSE 1 END AS period,
+       |    l_extendedprice AS x
+       |  FROM lineitem),
+       |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi FROM base GROUP BY g),
+       |binned AS (
+       |  SELECT b.g, $binX AS bin,
+       |    SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS ca,
+       |    SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM base b JOIN rng USING (g) GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT g, SUM(ca) AS na, SUM(cb) AS nb FROM binned GROUP BY g
+       |  HAVING SUM(ca) > 0 AND SUM(cb) > 0),
+       |rates AS (
+       |  SELECT n.g, n.bin,  t.na, t.nb,
+       |    CAST(n.ca AS DOUBLE) / CAST(t.na AS DOUBLE) AS pa,
+       |    CAST(n.cb AS DOUBLE) / CAST(t.nb AS DOUBLE) AS pb,
+       |    ABS(CAST(n.ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+       |      - CAST(n.cb AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS d
+       |  FROM binned n JOIN tot t USING (g)),
+       |agg AS (
+       |  SELECT g, CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+       |    ROUND(0.5::DOUBLE * CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE), 6) AS tvd,
+       |    ROUND(CAST(SUM(CAST((pa - pb) * (pa - pb) / (pa + pb)
+       |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+       |  FROM rates GROUP BY g),
+       |peak AS (
+       |  SELECT g, ROUND(lo + (hi - lo) / ${B}.0 * CAST(bin AS DOUBLE), 6) AS drift_at
+       |  FROM (
+       |    SELECT r.g, r.bin, rg.lo, rg.hi,
+       |      ROW_NUMBER() OVER (PARTITION BY r.g ORDER BY r.d DESC, r.bin ASC) AS rk
+       |    FROM rates r JOIN rng rg USING (g)) pk
+       |  WHERE rk = 1)
+       |SELECT a.g, a.n_a, a.n_b, a.tvd, a.chi2, p.drift_at
+       |FROM agg a JOIN peak p USING (g)
+       |ORDER BY g ASC NULLS LAST""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q153_dist_drift", q153, Some(q153Sql)),
+    QueryDef("q154_cat_drift", q154, Some(q154Sql)))
+}

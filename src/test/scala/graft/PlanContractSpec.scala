@@ -78,7 +78,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q140_diversity", "q141_twap", "q142_k_anonymity", "q143_mom_growth",
     "q144_conversion_lag", "q145_span_report", "q146_weighted_shards",
     "q147_ols_by_group", "q148_basket_lift", "q149_sliding_distinct",
-    "q150_mad_outliers", "q151_gini", "q152_robust_profile")
+    "q150_mad_outliers", "q151_gini", "q152_robust_profile",
+    "q153_dist_drift", "q154_cat_drift")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

@@ -127,6 +127,56 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(math.abs(m("n_hi").asInstanceOf[Long] - 50L) <= 6, s"n_hi: $m")
   }
 
+  test("q153: drift laws — identity is 0, disjoint supports are TVD 1 / chi2 2, " +
+      "shifts are ordered") {
+    def drift(rows: Seq[(String, Int, Double)]) =
+      operators.Drift.histDrift(rows.toDF("g", "period", "x"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+    // identical snapshots → exactly zero drift (both divergences)
+    val same = (1 to 500).flatMap(i =>
+      Seq(("id", 0, i.toDouble), ("id", 1, i.toDouble)))
+    // disjoint supports → TVD = 1, symmetrized chi2 = 2 (maxima)
+    val far = (1 to 500).map(i => ("far", 0, i.toDouble)) ++
+      (1 to 500).map(i => ("far", 1, 1000.0 + i))
+    // small vs large location shift on the SAME grid: ordered severity
+    val s1 = (1 to 500).map(i => ("s1", 0, i.toDouble)) ++
+      (1 to 500).map(i => ("s1", 1, i + 50.0))
+    val s2 = (1 to 500).map(i => ("s2", 0, i.toDouble)) ++
+      (1 to 500).map(i => ("s2", 1, i + 300.0))
+    val got = drift(same ++ far ++ s1 ++ s2)
+    assert(got("id") == ((0.0, 0.0)), s"identity drift must be zero: $got")
+    assert(got("far") == ((1.0, 2.0)), s"disjoint drift must saturate: $got")
+    assert(got("s1")._1 > 0.0 && got("s1")._1 < got("s2")._1,
+      s"TVD must order shift severity: $got")
+    assert(got("s1")._2 < got("s2")._2, s"chi2 must order shift severity: $got")
+    // a one-period group is dropped, not NaN'd
+    val half = (1 to 100).map(i => ("h", 0, i.toDouble))
+    assert(drift(half).isEmpty, "drift against an empty snapshot is undefined")
+  }
+
+  test("q154: categorical drift — identity 0, swap detected, peak category named") {
+    def drift(rows: Seq[(String, Int, String)]) =
+      operators.Drift.catDrift(rows.toDF("g", "period", "cat"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(4), r.getString(6), r.getDouble(7))).toMap
+    // identical mixes → zero drift
+    val same = (1 to 300).flatMap(i =>
+      Seq(("id", 0, s"c${i % 3}"), ("id", 1, s"c${i % 3}")))
+    // planted move: A = 80% x / 20% y, B = 20% x / 80% y → TVD = 0.6,
+    // and the peak is whichever of x/y moved (both moved 0.6 — tie
+    // breaks lexicographically to "x")
+    val swap = (1 to 80).map(_ => ("sw", 0, "x")) ++
+      (1 to 20).map(_ => ("sw", 0, "y")) ++
+      (1 to 20).map(_ => ("sw", 1, "x")) ++
+      (1 to 80).map(_ => ("sw", 1, "y"))
+    val got = drift(same ++ swap)
+    assert(got("id")._1 == 0.0, s"identity mix must read zero: $got")
+    assert(got("sw")._1 == 0.6, s"planted 60-point move: $got")
+    assert(got("sw")._2 == "x" && got("sw")._3 == 0.6,
+      s"peak category must name the move with the tie broken low: $got")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
