@@ -615,10 +615,11 @@ object RobustStats {
     profile(s, Tables.t(s, dir, "lineitem")
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
 
-  private val q152Sql = {
+  /** SQL twin of [[profile]] over an arbitrary (g, x) base SELECT —
+    * shared by q152 (single column) and q155 (melted whole-table). */
+  private def profileSqlFor(baseSelect: String): String = {
     val binX = binSqlOf("b.x")
-    s"""WITH base AS (
-       |  SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem),
+    s"""WITH base AS ($baseSelect),
        |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n
        |  FROM base GROUP BY g),
        |binned AS (
@@ -722,9 +723,48 @@ object RobustStats {
        |ORDER BY g ASC NULLS LAST""".stripMargin
   }
 
+  private val q152Sql = profileSqlFor(
+    "SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem")
+
+  // ------------------------------------------------------------- q155
+  /** PUBLIC API — WHOLE-TABLE profile: [[profile]] over every metric
+    * column at once via a map-only melt (explode of (name, value)
+    * structs), group key = `group/metric`. The point at 100 TB: the
+    * scan count stays THREE regardless of how many columns are
+    * profiled — a per-column profiler pays 3·k scans; this pays 3
+    * (each reading k columns). The melt multiplies rows ×k map-side,
+    * never shuffles unmelted, and every downstream frame stays
+    * ≤10·B·k·|groups| rows. */
+  def profileTable(s: SparkSession, df: DataFrame, g: Column,
+      metrics: Seq[(String, Column)]): DataFrame = {
+    val pairs = array(metrics.map { case (n, c) =>
+      struct(lit(n).as("m"), c.cast("double").as("x")) }: _*)
+    val base = df.select(g.cast("string").as("gg"), explode(pairs).as("p"))
+      .select(concat_ws("/", col("gg"), col("p.m")).as("g"),
+        col("p.x").as("x"))
+    profile(s, base)
+  }
+
+  /** Q155: the one-pass profile of ALL four lineitem measures
+    * (quantity, price, discount, tax) per return flag — 12 profile
+    * rows from the same 3 scans q152 spends on one column. */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    profileTable(s, Tables.t(s, dir, "lineitem"), col("l_returnflag"),
+      Seq("discount" -> col("l_discount"),
+        "price" -> col("l_extendedprice"),
+        "quantity" -> col("l_quantity"),
+        "tax" -> col("l_tax")))
+
+  private val q155Sql = profileSqlFor(
+    """SELECT l_returnflag || '/discount' AS g, l_discount AS x FROM lineitem
+      |  UNION ALL SELECT l_returnflag || '/price', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT l_returnflag || '/quantity', l_quantity FROM lineitem
+      |  UNION ALL SELECT l_returnflag || '/tax', l_tax FROM lineitem""".stripMargin)
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q123_hist_quantiles", q123, Some(q123Sql)),
     QueryDef("q124_winsorize", q124, Some(q124Sql)),
     QueryDef("q126_quantile_transform", q126, Some(q126Sql)),
-    QueryDef("q152_robust_profile", q152, Some(q152Sql)))
+    QueryDef("q152_robust_profile", q152, Some(q152Sql)),
+    QueryDef("q155_table_profile", q155, Some(q155Sql)))
 }

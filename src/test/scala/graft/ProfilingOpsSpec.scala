@@ -177,6 +177,23 @@ class ProfilingOpsSpec extends AnyFunSuite {
       s"peak category must name the move with the tie broken low: $got")
   }
 
+  test("q155: the melted table profile equals per-column profiles bit-for-bit") {
+    // each (group, metric) melt-group sees exactly the rows the
+    // single-column profile sees ⇒ identical histograms ⇒ identical
+    // 14-column output — equality, not tolerance
+    val df = (1 to 400).map(i =>
+      ("a", i.toDouble, (i * 13 % 101).toDouble)).toDF("g", "u", "v")
+    val table = operators.RobustStats.profileTable(spark, df, col("g"),
+      Seq("u" -> col("u"), "v" -> col("v")))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    def single(name: String, c: String) = operators.RobustStats
+      .profile(spark, df.select(concat_ws("/", col("g"), lit(name)).as("g"),
+        col(c).cast("double").as("x")))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(table == single("u", "u") ++ single("v", "v"),
+      s"melted profile diverged from its single-column twins")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
