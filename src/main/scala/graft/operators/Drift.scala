@@ -222,7 +222,116 @@ object Drift {
        |ORDER BY g ASC NULLS LAST""".stripMargin
   }
 
+  /** PUBLIC API — DRIFT TIME SERIES of a (g, bucket, x) frame: TVD
+    * between every pair of CONSECUTIVE buckets (bucket = integer time
+    * id, e.g. months-since-epoch) on one shared per-group grid — q153
+    * answers "did the distribution move between two snapshots"; this
+    * answers WHEN. The missing-bin problem (a bin present in only one
+    * month must still contribute its full mass) is solved without any
+    * outer join: each histogram row explodes into its two pair
+    * contributions — (pair = bucket, p_curr = p) and (pair = bucket+1,
+    * p_prev = p) — and the (g, pair, bin) re-aggregate sees at most
+    * one nonzero value per side, so every double sum is exact. Pairs
+    * where either bucket is empty for the group are dropped via the
+    * tiny consecutive-bucket frame (drift vs an empty month is
+    * undefined, same contract as [[histDrift]]).
+    *
+    * Scale shape: one shared-range scan + one (g, bucket, bin)
+    * histogram scan; the explode doubles ≤B·|buckets|·|groups| tiny
+    * rows, never corpus rows. All arithmetic +−×÷/abs on exact counts
+    * → DuckDB replays the full series bit-for-bit. */
+  def driftSeries(base: DataFrame): DataFrame = {
+    val rng = base.groupBy(col("g")) // ----------------------- scan 1
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .localCheckpoint()
+    val binOf =
+      when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(B.toDouble))).cast("int"),
+          lit(B - 1)))
+    val hist = base.join(broadcast(rng), Seq("g")) // ---------- scan 2
+      .withColumn("bin", binOf)
+      .groupBy(col("g"), col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = hist.groupBy(col("g"), col("bucket"))
+      .agg(sum(col("cnt")).as("n"))
+    // consecutive-bucket pairs where BOTH sides have rows
+    val pairs = tot.select(col("g"), (col("bucket") + 1).as("pair"),
+        col("n").as("n_prev"))
+      .join(tot.select(col("g"), col("bucket").as("pair"),
+        col("n").as("n_curr")), Seq("g", "pair"))
+    val contrib = hist.join(broadcast(tot), Seq("g", "bucket"))
+      .withColumn("p", col("cnt").cast("double") / col("n").cast("double"))
+      .select(col("g"), col("bin"),
+        explode(array(
+          struct((col("bucket") + 1).as("pair"), col("p").as("pp"),
+            lit(0.0).as("pc")),
+          struct(col("bucket").as("pair"), lit(0.0).as("pp"),
+            col("p").as("pc")))).as("e"))
+      .select(col("g"), col("e.pair").as("pair"), col("bin"),
+        col("e.pp").as("pp"), col("e.pc").as("pc"))
+      .groupBy(col("g"), col("pair"), col("bin"))
+      .agg(sum(col("pp")).as("pp"), sum(col("pc")).as("pc"))
+    contrib.join(broadcast(pairs), Seq("g", "pair"))
+      .groupBy(col("g"), col("pair"))
+      .agg(min(col("n_prev")).as("n_prev"), min(col("n_curr")).as("n_curr"),
+        round(lit(0.5) * sum(abs(col("pp") - col("pc"))
+          .cast("decimal(38,12)")).cast("double"), 6).as("tvd"))
+      .select(col("g"), col("pair").as("bucket"), col("n_prev"),
+        col("n_curr"), col("tvd"))
+      .orderBy(col("g").asc_nulls_last, col("bucket").asc_nulls_last)
+  }
+
+  /** Q156: the month-over-month l_extendedprice drift series per
+    * return flag — "which month did prices move". Bucket = months
+    * since year 0 (yr·12 + mo−1), pure integer arithmetic on both
+    * engines. */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    driftSeries(Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("bucket"),
+        col("l_extendedprice").as("x")))
+
+  private val q156Sql = {
+    val binX = RobustStats.binSqlOf("b.x")
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(EXTRACT(year FROM l_shipdate) * 12
+       |      + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS bucket,
+       |    l_extendedprice AS x
+       |  FROM lineitem),
+       |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi FROM base GROUP BY g),
+       |hist AS (
+       |  SELECT b.g, b.bucket, $binX AS bin, COUNT(*) AS cnt
+       |  FROM base b JOIN rng USING (g) GROUP BY 1, 2, 3),
+       |tot AS (SELECT g, bucket, SUM(cnt) AS n FROM hist GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.g, a.bucket + 1 AS pair, a.n AS n_prev, c.n AS n_curr
+       |  FROM tot a JOIN tot c ON a.g = c.g AND c.bucket = a.bucket + 1),
+       |contrib AS (
+       |  SELECT g, pair, bin, SUM(pp) AS pp, SUM(pc) AS pc FROM (
+       |    SELECT h.g, h.bucket + 1 AS pair, h.bin,
+       |      CAST(h.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS pp, 0.0::DOUBLE AS pc
+       |    FROM hist h JOIN tot t USING (g, bucket)
+       |    UNION ALL
+       |    SELECT h.g, h.bucket AS pair, h.bin,
+       |      0.0::DOUBLE AS pp, CAST(h.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS pc
+       |    FROM hist h JOIN tot t USING (g, bucket)) u
+       |  GROUP BY 1, 2, 3)
+       |SELECT c.g, c.pair AS bucket,
+       |  CAST(MIN(p.n_prev) AS BIGINT) AS n_prev,
+       |  CAST(MIN(p.n_curr) AS BIGINT) AS n_curr,
+       |  ROUND(0.5::DOUBLE * CAST(SUM(CAST(ABS(c.pp - c.pc) AS DECIMAL(38,12)))
+       |    AS DOUBLE), 6) AS tvd
+       |FROM contrib c JOIN pairs p ON c.g = p.g AND c.pair = p.pair
+       |GROUP BY c.g, c.pair
+       |ORDER BY c.g ASC NULLS LAST, c.pair ASC NULLS LAST""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q153_dist_drift", q153, Some(q153Sql)),
-    QueryDef("q154_cat_drift", q154, Some(q154Sql)))
+    QueryDef("q154_cat_drift", q154, Some(q154Sql)),
+    QueryDef("q156_drift_series", q156, Some(q156Sql)))
 }

@@ -79,7 +79,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q144_conversion_lag", "q145_span_report", "q146_weighted_shards",
     "q147_ols_by_group", "q148_basket_lift", "q149_sliding_distinct",
     "q150_mad_outliers", "q151_gini", "q152_robust_profile",
-    "q153_dist_drift", "q154_cat_drift", "q155_table_profile")
+    "q153_dist_drift", "q154_cat_drift", "q155_table_profile",
+    "q156_drift_series")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

@@ -194,6 +194,25 @@ class ProfilingOpsSpec extends AnyFunSuite {
       s"melted profile diverged from its single-column twins")
   }
 
+  test("q156: drift series — flat history is 0, the planted break month reads 1, " +
+      "gapped buckets pair nothing") {
+    def series(rows: Seq[(String, Long, Double)]) =
+      operators.Drift.driftSeries(rows.toDF("g", "bucket", "x"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // buckets 1,2 hold distribution A (1..200); buckets 3,4 hold the
+    // DISJOINT distribution B (1000..1199): the break lands exactly at
+    // pair 3, flat everywhere else
+    val planted = (1L to 4L).flatMap { b =>
+      (1 to 200).map(i =>
+        ("p", b, if (b <= 2) i.toDouble else 1000.0 + (i - 1)))
+    }
+    // a group observed only in buckets 1 and 3 has NO consecutive pair
+    val gapped = Seq(1L, 3L).flatMap(b => (1 to 50).map(i => ("gap", b, i.toDouble)))
+    val got = series(planted ++ gapped)
+    assert(got == Map(("p", 2L) -> 0.0, ("p", 3L) -> 1.0, ("p", 4L) -> 0.0),
+      s"planted break series wrong: $got")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
