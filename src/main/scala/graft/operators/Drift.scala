@@ -330,8 +330,97 @@ object Drift {
        |ORDER BY c.g ASC NULLS LAST, c.pair ASC NULLS LAST""".stripMargin
   }
 
+  /** PUBLIC API — two-sample KOLMOGOROV–SMIRNOV statistic per group:
+    * D = max over the shared grid of |F̂_A(edge) − F̂_B(edge)| (CDFs
+    * evaluated at bin right-edges), with `ks_at` = the edge where the
+    * gap peaks (ties → lowest edge). TVD (q153) integrates pointwise
+    * density differences and saturates for any disjointness; KS is the
+    * CDF-supremum view the statistics literature tests against — a
+    * location SHIFT moves KS toward 1 even when per-bin overlaps keep
+    * TVD moderate. Bin-granular: |D − D_exact| is bounded by the mass
+    * of one bin (the within-bin CDF crossing), the same one-bin
+    * contract as q123. Same 2-scan dual-period fold as [[histDrift]];
+    * the cumulative fold runs over ≤B rows per group; exact integer
+    * cumulative counts divided once at the end — DuckDB replays D and
+    * the peak edge bit-for-bit. */
+  def ksTest(base: DataFrame): DataFrame = {
+    val rng = base.groupBy(col("g")) // ----------------------- scan 1
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .localCheckpoint()
+    val binOf =
+      when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(B.toDouble))).cast("int"),
+          lit(B - 1)))
+    val binned = base.join(broadcast(rng), Seq("g")) // -------- scan 2
+      .withColumn("bin", binOf)
+      .groupBy(col("g"), col("bin"))
+      .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = binned.groupBy(col("g"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .where(col("na") > 0 && col("nb") > 0)
+    val wc = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
+    val gaps = binned.join(broadcast(tot), Seq("g"))
+      .withColumn("cuma", sum(col("ca")).over(wc))
+      .withColumn("cumb", sum(col("cb")).over(wc))
+      .withColumn("d", abs(col("cuma").cast("double") / col("na").cast("double")
+        - col("cumb").cast("double") / col("nb").cast("double")))
+    val wpk = Window.partitionBy(col("g"))
+      .orderBy(col("d").desc_nulls_last, col("bin").asc_nulls_last)
+    gaps.join(broadcast(rng), Seq("g"))
+      .withColumn("rk", row_number().over(wpk)).where(col("rk") === 1)
+      .select(col("g"), col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("d"), 6).as("ks"),
+        round(col("lo") + (col("hi") - col("lo")) / lit(B.toDouble) *
+          (col("bin").cast("double") + 1.0), 6).as("ks_at"))
+      .orderBy(col("g").asc_nulls_last)
+  }
+
+  /** Q157: the KS statistic for the same ≤1997 / 1998+ price split as
+    * q153 — the supremum-gap companion to its integrated TVD. */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    ksTest(Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        when(year(col("l_shipdate")) <= 1997, 0).otherwise(1).as("period"),
+        col("l_extendedprice").as("x")))
+
+  private val q157Sql = {
+    val binX = RobustStats.binSqlOf("b.x")
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g,
+       |    CASE WHEN EXTRACT(year FROM l_shipdate) <= 1997 THEN 0 ELSE 1 END AS period,
+       |    l_extendedprice AS x
+       |  FROM lineitem),
+       |rng AS (SELECT g, MIN(x) AS lo, MAX(x) AS hi FROM base GROUP BY g),
+       |binned AS (
+       |  SELECT b.g, $binX AS bin,
+       |    SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS ca,
+       |    SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM base b JOIN rng USING (g) GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT g, SUM(ca) AS na, SUM(cb) AS nb FROM binned GROUP BY g
+       |  HAVING SUM(ca) > 0 AND SUM(cb) > 0),
+       |gaps AS (
+       |  SELECT n.g, n.bin, t.na, t.nb,
+       |    ABS(CAST(SUM(n.ca) OVER w AS DOUBLE) / CAST(t.na AS DOUBLE)
+       |      - CAST(SUM(n.cb) OVER w AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS d
+       |  FROM binned n JOIN tot t USING (g)
+       |  WINDOW w AS (PARTITION BY n.g ORDER BY n.bin ASC))
+       |SELECT gp.g, CAST(gp.na AS BIGINT) AS n_a, CAST(gp.nb AS BIGINT) AS n_b,
+       |  ROUND(gp.d, 6) AS ks,
+       |  ROUND(r.lo + (r.hi - r.lo) / ${B}.0 * (CAST(gp.bin AS DOUBLE) + 1.0), 6) AS ks_at
+       |FROM (
+       |  SELECT g, bin, na, nb, d,
+       |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY d DESC, bin ASC) AS rk
+       |  FROM gaps) gp JOIN rng r USING (g)
+       |WHERE gp.rk = 1
+       |ORDER BY g ASC NULLS LAST""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q153_dist_drift", q153, Some(q153Sql)),
     QueryDef("q154_cat_drift", q154, Some(q154Sql)),
-    QueryDef("q156_drift_series", q156, Some(q156Sql)))
+    QueryDef("q156_drift_series", q156, Some(q156Sql)),
+    QueryDef("q157_ks_test", q157, Some(q157Sql)))
 }

@@ -213,6 +213,29 @@ class ProfilingOpsSpec extends AnyFunSuite {
       s"planted break series wrong: $got")
   }
 
+  test("q157: KS laws — identity 0, disjoint 1, a location shift reads near its " +
+      "overlap deficit and beats TVD's read") {
+    def ks(rows: Seq[(String, Int, Double)]) =
+      operators.Drift.ksTest(rows.toDF("g", "period", "x"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val same = (1 to 500).flatMap(i =>
+      Seq(("id", 0, i.toDouble), ("id", 1, i.toDouble)))
+    val far = (1 to 500).map(i => ("far", 0, i.toDouble)) ++
+      (1 to 500).map(i => ("far", 1, 1000.0 + i))
+    // uniform A = 1..1000, B = A + 500: exact KS = 0.5 at the overlap
+    // edge; one-bin granularity tolerance
+    val shift = (1 to 1000).map(i => ("sh", 0, i.toDouble)) ++
+      (1 to 1000).map(i => ("sh", 1, i + 500.0))
+    val got = ks(same ++ far ++ shift)
+    assert(got("id")._1 == 0.0, s"identity KS must be zero: $got")
+    assert(got("far")._1 == 1.0, s"disjoint KS must saturate: $got")
+    assert(math.abs(got("sh")._1 - 0.5) < 0.01, s"shift KS must read 0.5: $got")
+    // the 0.5 gap is a PLATEAU over the whole overlap [500, 1000]; the
+    // deterministic low-edge tie-break reports where the gap FIRST
+    // saturates — the shift onset x ≈ 500, within bin granularity
+    assert(math.abs(got("sh")._2 - 500.0) < 12.0, s"shift KS peak misplaced: $got")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
