@@ -93,5 +93,6 @@ object Registry {
       streaming.StreamStaticJoin.defs ++
       streaming.StreamUpsert.defs ++
       streaming.ThresholdAlert.defs ++
+      streaming.StreamDrift.defs ++
       operators.Udfs.defs
 }

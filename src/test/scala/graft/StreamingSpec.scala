@@ -57,6 +57,50 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} windows vs batch ${batch.size}")
   }
 
+  test("stream drift watchdog emits exactly the batch twin's daily TVD rows") {
+    import spark.implicits._
+    // the q158 split: baseline = first fortnight, stream = the rest
+    val all = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("event_type"), col("value")).as[Ev].collect().toSeq
+    val splitMs = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime
+    val baseline = streaming.StreamDrift.fitBaseline(
+      Tables.t(spark, sf, "events")
+        .where(to_date(col("ts")) < lit("2024-01-16").cast("date"))
+        .select(col("event_type").as("g"), col("value").as("x")))
+    val live = all.filter(_.ts.getTime >= splitMs)
+
+    val stream = MemoryStream[Ev](spark, 11)
+    val out = streaming.StreamDrift.watch(
+      stream.toDF().select(col("event_type").as("g"), col("ts"),
+        col("value").as("x")),
+      baseline)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift_out").start()
+    try {
+      // two arbitrary micro-batches: histogram merge must be batching-
+      // independent
+      val (b1, b2) = live.splitAt(live.size / 3)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      stream.addData(Ev(new Timestamp(live.map(_.ts.getTime).max + 3 * 86400000L), "zz", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("drift_out")
+      .where(col("g") =!= "zz")
+      .collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q158_stream_drift")(spark, sf)
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getString(0), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"streamed drift ${streamed.size} rows != batch twin ${batch.size}")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark, 2)
