@@ -85,6 +85,7 @@ object Registry {
       operators.Mad.defs ++
       operators.Gini.defs ++
       operators.Drift.defs ++
+      operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
       streaming.StreamDedup.defs ++

@@ -236,6 +236,27 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(math.abs(got("sh")._2 - 500.0) < 12.0, s"shift KS peak misplaced: $got")
   }
 
+  test("q159: richness laws — exhausted corpus reads chao1 = D / coverage 1, " +
+      "all-singletons reads coverage 0, chao1 never undershoots D") {
+    def rich(rows: Seq[(String, String)]) =
+      operators.Richness.vocabRichness(rows.toDF("g", "text"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(5), r.getDouble(6))).toMap
+    // exhausted: every one of 10 tokens seen 20 times → f1 = f2 = 0
+    val done = (1 to 20).map(_ => ("done", (0 until 10).map("t" + _).mkString(" ")))
+    // frontier: every token unique → f1 = D, coverage 0
+    val fresh = (1 to 5).map(i =>
+      ("fresh", (0 until 10).map(j => s"u${i}_$j").mkString(" ")))
+    val got = rich(done ++ fresh)
+    assert(got("done") == ((10L, 10.0, 1.0)), s"exhausted corpus: $got")
+    val (d, chao1, cov) = got("fresh")
+    assert(d == 50L && cov == 0.0, s"all-singleton corpus: $got")
+    assert(chao1 == 50.0 + 50.0 * 49.0 / 2.0, s"chao1 formula: $got")
+    got.values.foreach { case (dd, c1, _) =>
+      assert(c1 >= dd.toDouble, "chao1 must never undershoot observed richness")
+    }
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
