@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   * missing either period is dropped (drift against an empty snapshot
   * is undefined); a degenerate group (hi = lo) collapses to one bin
   * with p_A = p_B = 1 → TVD = χ² = 0, the correct "no drift" verdict. */
+/* Reference anchor: the reference engine's monitoring plane keeps
+ * sliding-window histograms per metric (celeborn: common/src/main/scala/
+ * org/apache/celeborn/common/metrics/source/AbstractSource.scala:46-65,
+ * CelebornHistogram over a ResettableSlidingWindowReservoir) and leaves
+ * distribution comparison to the operator; this engine makes the
+ * comparison itself a first-class, oracle-replayable operator. */
 object Drift {
 
   private val B = RobustStats.B

@@ -34,6 +34,11 @@ import org.apache.spark.sql.functions._
   * (group, window) — beyond that, pre-aggregate windows finer.
   * Out-of-baseline-range values clamp into the edge bins (the
   * watchdog's whole point is seeing mass pile up at an edge). */
+/* Reference anchor: celeborn surfaces per-worker metric histograms over
+ * its metrics plane (common/.../metrics/source/AbstractSource.scala:46,
+ * NamedHistogram; prometheus export) but alerting on distribution
+ * movement is left external — here the watchdog runs INSIDE the engine
+ * as a streaming query with exact replayability. */
 object StreamDrift {
 
   private val B = 256
