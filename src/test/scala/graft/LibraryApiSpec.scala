@@ -36,6 +36,30 @@ class LibraryApiSpec extends AnyFunSuite {
       s"unrelated docs must not pair: $pairs")
   }
 
+  test("containmentPairs finds the embedded quote that Jaccard structurally misses") {
+    import spark.implicits._
+    val core = (1 to 30).map(i => s"core$i").mkString(" ")
+    val filler = (1 to 170).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", core),                    // the short original
+      (2L, "en", core + " " + filler),     // quotes ALL of doc 1 inside 6x the text
+      (3L, "en", (1 to 50).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val pairs = operators.Dedup.containmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getDouble(5))).toMap
+    val (cont, jac) = pairs((1L, 2L))
+    assert(cont == 1.0, s"full embedding must read containment 1: $pairs")
+    assert(jac < 0.2, s"the same pair's Jaccard is structurally small: $pairs")
+    // and the symmetric detector at the same bar indeed cannot see it
+    val jpairs = operators.Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jpairs.contains((1L, 2L)),
+      s"premise check: Jaccard@0.9 must miss the embedded quote: $jpairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated doc must not pair: $pairs")
+  }
+
   test("simhashPairs at a strict hamming threshold keeps the exact dup") {
     val strict = Dedup.simhashPairs(docsDf, maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
