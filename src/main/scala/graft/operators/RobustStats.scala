@@ -235,6 +235,158 @@ object RobustStats {
     sys.error("unreachable")
   }
 
+  // -------------------------------- weighted refined (robust) quantile
+  /** WEIGHTED outlier-robust quantile by the same bracket refinement as
+    * [[refinedQuantile]] (round-11): the statistic a corpus profiler
+    * actually wants is usually mass-weighted — "the median byte price
+    * weighted by token count" — where each row carries weight w ≥ 0.
+    * Counts become weight sums, and the integer rank t = ⌈q·n⌉ becomes
+    * the continuous target mass τ = q·W (no ceil: weighted quantiles
+    * interpolate in mass, not rank). Same scan/bracket/checkpoint
+    * discipline, same error bound range/B^passes.
+    *
+    * Determinism contract: with INTEGER-VALUED weights (token counts,
+    * byte counts, quantities — the real uses), every weight sum is an
+    * exact integer in doubles (< 2^53), so sums are order-independent
+    * and DuckDB replays the chain bit-for-bit ([[weightedRefinedQuantileSqlFor]]).
+    * Fractional weights stay engine-deterministic per plan but lose the
+    * cross-engine guarantee — keep oracle-checked paths integral. */
+  def weightedRefinedQuantile(base: DataFrame, q: Double,
+      passes: Int = 3): DataFrame = {
+    require(passes >= 1 && q > 0.0 && q <= 1.0)
+    val wc = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
+    def binAt(k: Int): Column =
+      when(col(s"w$k") <= 0.0, lit(0)).otherwise(
+        greatest(least(floor((col("x") - col(s"lo$k")) / col(s"w$k")),
+          lit((B - 1).toDouble)), lit(0.0)).cast("int"))
+    def member(k: Int): Column = (1 until k).map { i =>
+      val f = floor((col("x") - col(s"lo$i")) / col(s"w$i"))
+      when(col(s"w$i") <= 0.0, lit(true))
+        .when(col(s"bin$i") === lit(B - 1), f >= lit((B - 1).toDouble))
+        .when(col(s"bin$i") === lit(0), f <= lit(0.0))
+        .otherwise(f === col(s"bin$i").cast("double"))
+    }.foldLeft(lit(true))(_ && _)
+
+    var br: DataFrame = base.groupBy(col("g")).agg(
+      min(col("x")).as("lo1"),
+      ((max(col("x")) - min(col("x"))) / lit(B.toDouble)).as("w1"),
+      sum(col("wt")).as("wtot"))
+      .withColumn("t", lit(q) * col("wtot"))
+      .withColumn("c_lo", lit(0.0))
+      .localCheckpoint()
+    for (k <- 1 to passes) {
+      val win = base.join(broadcast(br), Seq("g"))
+        .where(member(k))
+        .withColumn("bin", binAt(k))
+        .groupBy(col("g"), col("bin")).agg(sum(col("wt")).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+        .join(broadcast(br), Seq("g"))
+        .where(col("c_lo") + col("cum") >= col("t"))
+        .withColumn("rk", row_number().over(wc))
+        .where(col("rk") === 1)
+      if (k == passes)
+        return win.select(col("g"),
+          (col(s"lo$k") + col(s"w$k") * (col("bin").cast("double") +
+            (col("t") - col("c_lo") - col("cum_before")) / col("cnt")))
+            .as("q_est"))
+          .localCheckpoint()
+      val carried = (1 until k).flatMap(i =>
+        Seq(col(s"lo$i"), col(s"w$i"), col(s"bin$i")))
+      br = win.select(Seq(col("g")) ++ carried ++ Seq(
+        col(s"lo$k"), col(s"w$k"), col("bin").as(s"bin$k"),
+        (col(s"lo$k") + col(s"w$k") * col("bin").cast("double"))
+          .as(s"lo${k + 1}"),
+        (col(s"w$k") / lit(B.toDouble)).as(s"w${k + 1}"),
+        col("wtot"), col("t"),
+        (col("c_lo") + col("cum_before")).as("c_lo")): _*)
+        .localCheckpoint()
+    }
+    sys.error("unreachable")
+  }
+
+  /** SQL twin of [[weightedRefinedQuantile]] over `${p}base` = (g, x,
+    * wt); emits CTEs ending in `${p}qr` = (g, q_est). */
+  private[operators] def weightedRefinedQuantileSqlFor(p: String, q: Double,
+      passes: Int = 3): String = {
+    def binSql(k: Int) =
+      s"""CASE WHEN b.w$k <= 0 THEN 0
+         |      ELSE CAST(GREATEST(LEAST(FLOOR((x.x - b.lo$k) / b.w$k), ${B - 1}.0), 0.0) AS INTEGER) END"""
+        .stripMargin.replaceAll("\n\\s*", " ")
+    def memberSql(k: Int): String = (1 until k).map { i =>
+      s"""(CASE WHEN b.w$i <= 0 THEN TRUE
+         |      WHEN b.bin$i = ${B - 1} THEN FLOOR((x.x - b.lo$i) / b.w$i) >= ${B - 1}.0
+         |      WHEN b.bin$i = 0 THEN FLOOR((x.x - b.lo$i) / b.w$i) <= 0.0
+         |      ELSE FLOOR((x.x - b.lo$i) / b.w$i) = CAST(b.bin$i AS DOUBLE) END)"""
+        .stripMargin.replaceAll("\n\\s*", " ")
+    }.foldLeft("TRUE")((a, c) => s"$a AND $c")
+    val init =
+      s"""${p}rb0 AS (
+         |  SELECT g, MIN(x) AS lo1, (MAX(x) - MIN(x)) / ${B}.0 AS w1,
+         |    SUM(wt) AS wtot,
+         |    $q::DOUBLE * SUM(wt) AS t,
+         |    0.0::DOUBLE AS c_lo
+         |  FROM ${p}base GROUP BY g)""".stripMargin
+    val chain = (1 to passes).map { k =>
+      val counts =
+        s"""${p}rc$k AS (
+           |  SELECT b.g, ${binSql(k)} AS bin, SUM(x.wt) AS cnt
+           |  FROM ${p}base x JOIN ${p}rb${k - 1} b USING (g)
+           |  WHERE ${memberSql(k)}
+           |  GROUP BY 1, 2),
+           |${p}rs$k AS (
+           |  SELECT g, bin, cnt,
+           |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY g ORDER BY bin ASC) - cnt AS cum_before
+           |  FROM ${p}rc$k),
+           |${p}rw$k AS (
+           |  SELECT b.*, s.bin, s.cnt, s.cum_before
+           |  FROM ${p}rs$k s JOIN ${p}rb${k - 1} b USING (g)
+           |  WHERE b.c_lo + s.cum >= b.t
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.g ORDER BY s.bin ASC) = 1)""".stripMargin
+      if (k == passes) counts
+      else {
+        val carried = (1 until k)
+          .flatMap(i => Seq(s"lo$i", s"w$i", s"bin$i"))
+        val cols = (Seq("g") ++ carried ++ Seq(
+          s"lo$k", s"w$k", s"bin AS bin$k",
+          s"lo$k + w$k * CAST(bin AS DOUBLE) AS lo${k + 1}",
+          s"w$k / ${B}.0 AS w${k + 1}",
+          "wtot", "t", "c_lo + cum_before AS c_lo")).mkString(", ")
+        s"""$counts,
+           |${p}rb$k AS (SELECT $cols FROM ${p}rw$k)""".stripMargin
+      }
+    }.mkString(",\n")
+    val fin =
+      s"""${p}qr AS (
+         |  SELECT g, lo$passes + w$passes * (CAST(bin AS DOUBLE)
+         |    + (t - c_lo - cum_before) / cnt) AS q_est
+         |  FROM ${p}rw$passes)""".stripMargin
+    s"$init,\n$chain,\n$fin"
+  }
+
+  // ------------------------------------------------------------- q161
+  /** Q161: QUANTITY-WEIGHTED robust median of l_extendedprice per
+    * return flag — "the median unit's price", where each lineitem row
+    * counts once per unit it ships. Integer weights keep the whole
+    * chain bit-exact across engines (see
+    * [[weightedRefinedQuantile]]'s determinism contract). */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    weightedRefinedQuantile(Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
+        col("l_quantity").as("wt")), 0.5)
+      .select(col("g"), round(col("q_est"), 6).as("wmedian"))
+      .orderBy(col("g").asc_nulls_last)
+
+  private val q161Sql =
+    s"""WITH base AS (
+       |  SELECT l_returnflag AS g, l_extendedprice AS x, l_quantity AS wt
+       |  FROM lineitem),
+       |${weightedRefinedQuantileSqlFor("", 0.5)}
+       |SELECT g, ROUND(q_est, 6) AS wmedian
+       |FROM qr
+       |ORDER BY g ASC NULLS LAST""".stripMargin
+
   /** SQL twin of [[refinedQuantile]]: given a caller-defined CTE
     * `${p}base` = (g, x), emits the chained refinement CTEs ending in
     * `${p}qr` = (g, q_est). Same arithmetic trees as the DataFrame
@@ -766,5 +918,6 @@ object RobustStats {
     QueryDef("q124_winsorize", q124, Some(q124Sql)),
     QueryDef("q126_quantile_transform", q126, Some(q126Sql)),
     QueryDef("q152_robust_profile", q152, Some(q152Sql)),
-    QueryDef("q155_table_profile", q155, Some(q155Sql)))
+    QueryDef("q155_table_profile", q155, Some(q155Sql)),
+    QueryDef("q161_weighted_median", q161, Some(q161Sql)))
 }

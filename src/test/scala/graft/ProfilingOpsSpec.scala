@@ -257,6 +257,26 @@ class ProfilingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q161: weighted median equals the expanded-rows median and shrugs off a " +
+      "heavy-value outlier") {
+    import operators.RobustStats.weightedRefinedQuantile
+    // value 100 carries 80% of the unit mass → the weighted median IS
+    // 100 (expansion ranks 11..90); refinement error ≤ range/B³ ≪ 1
+    val rows = Seq(("a", 10.0, 10L), ("a", 100.0, 80L), ("a", 1000.0, 10L))
+    val est = weightedRefinedQuantile(rows.toDF("g", "x", "wt"), 0.5)
+      .collect()(0).getDouble(1)
+    val expanded = rows.flatMap { case (g, x, w) => Seq.fill(w.toInt)(x) }.sorted
+    val exact = expanded(expanded.size / 2 - 1)
+    assert(exact == 100.0 && math.abs(est - 100.0) < 1.0,
+      s"weighted median must sit on the heavy value: $est vs $exact")
+    // a single huge-VALUE row with small weight must barely move it
+    val dirty = weightedRefinedQuantile(
+      (rows :+ (("a", 1e9, 1L))).toDF("g", "x", "wt"), 0.5)
+      .collect()(0).getDouble(1)
+    assert(math.abs(dirty - 100.0) < 1.0,
+      s"one light outlier row must not move the weighted median: $dirty")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
