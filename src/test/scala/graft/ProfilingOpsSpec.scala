@@ -277,6 +277,23 @@ class ProfilingOpsSpec extends AnyFunSuite {
       s"one light outlier row must not move the weighted median: $dirty")
   }
 
+  test("q162: diversity laws — uniform vocab reads D_eff = k exactly, a dominant " +
+      "token collapses it toward 1") {
+    def div(rows: Seq[(String, String)]) =
+      operators.Richness.vocabDiversity(rows.toDF("g", "text"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    // uniform: 8 tokens, each 25 times → D_eff = (8·25)²/(8·25²) = 8
+    val uni = (1 to 25).map(_ => ("uni", (0 until 8).map("t" + _).mkString(" ")))
+    // dominated: one token 992 times + 8 rare → D_eff ≈ 1, top_share ≈ 1
+    val dom = (1 to 124).map(_ => ("dom", "x x x x x x x x")) ++
+      Seq(("dom", (0 until 8).map("r" + _).mkString(" ")))
+    val got = div(uni ++ dom)
+    assert(got("uni") == ((8L, 8.0, 0.125)), s"uniform vocab: $got")
+    val (dD, dEff, dTop) = got("dom")
+    assert(dD == 9L && dEff < 1.1 && dTop > 0.98, s"dominated vocab: $got")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
