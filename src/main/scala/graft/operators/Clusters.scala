@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over near-duplicate pair sets — the step that
@@ -132,6 +133,68 @@ object Clusters {
       |FROM documents LEFT JOIN comp c ON documents.doc_id = c.id
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin
 
+  // ------------------------------------------------------------- q163
+  /** PUBLIC API — the CONTAINMENT-AWARE dedup ACTION (round-11,
+    * q160's consumer): cluster the containment edges transitively and
+    * keep, per cluster, the LARGEST document (most tokens, ties → min
+    * doc id) — the superset that subsumes every contained member. The
+    * q55 min-id election is right for symmetric near-dup clusters
+    * (all members equivalent); under containment the members are NOT
+    * equivalent — dropping the superset and keeping a fragment loses
+    * text — so the election key is size. Singletons keep themselves. */
+  def containmentKeep(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val edges = Dedup.containmentPairs(docs, threshold)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val cc = connectedComponents(edges)
+    val labeled = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("sz"))
+      .join(cc.select(col("id").as("doc_id"), col("lbl").as("cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val wk = Window.partitionBy(col("cluster"))
+      .orderBy(col("sz").desc_nulls_last, col("doc_id").asc_nulls_last)
+    labeled.withColumn("keep", row_number().over(wk) === 1)
+      .select(col("doc_id"), col("cluster"), col("sz"), col("keep"))
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    containmentKeep(Tables.t(s, dir, "documents"))
+
+  /** Independent oracle: exact string-shingle containment edges +
+    * recursive-CTE closure + the same largest-wins election. */
+  private val q163Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |    FOR i IN range(1, len(s) - 1)])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+      |shsz AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id),
+      |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (SELECT d1, d2 FROM (
+      |  SELECT d1, d2, GREATEST(CAST(inter AS DOUBLE) / CAST(s1.sz AS DOUBLE),
+      |    CAST(inter AS DOUBLE) / CAST(s2.sz AS DOUBLE)) AS cmax
+      |  FROM i JOIN shsz s1 ON i.d1 = s1.doc_id JOIN shsz s2 ON i.d2 = s2.doc_id) x
+      |  WHERE cmax >= 0.8),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+      |  FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
+      |SELECT doc_id, cluster, sz,
+      |  (ROW_NUMBER() OVER (PARTITION BY cluster
+      |    ORDER BY sz DESC, doc_id ASC) = 1) AS keep
+      |FROM lab
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_containment_keep", q163, Some(q163Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)))
 }

@@ -60,6 +60,26 @@ class LibraryApiSpec extends AnyFunSuite {
       s"unrelated doc must not pair: $pairs")
   }
 
+  test("containmentKeep collapses a containment chain and keeps the superset") {
+    import spark.implicits._
+    val core = (1 to 30).map(i => s"core$i").mkString(" ")
+    val mid = core + " " + (1 to 20).map(i => s"mid$i").mkString(" ")
+    val full = mid + " " + (1 to 40).map(i => s"tail$i").mkString(" ")
+    // the SUPERSET deliberately carries the HIGHEST id: a min-id
+    // election (q55's, right for symmetric near-dups) would keep the
+    // FRAGMENT 5 and lose text — the size election must keep 7
+    val docs = Seq(
+      (5L, "en", core), (6L, "en", mid), (7L, "en", full),
+      (8L, "en", (1 to 60).map(i => s"solo$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val got = operators.Clusters.containmentKeep(docs, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got(7L) == ((5L, true)), s"the largest doc must be kept: $got")
+    assert(got(5L) == ((5L, false)) && got(6L) == ((5L, false)),
+      s"contained docs must cluster under min-id label and be dropped: $got")
+    assert(got(8L) == ((8L, true)), s"singleton keeps itself: $got")
+  }
+
   test("simhashPairs at a strict hamming threshold keeps the exact dup") {
     val strict = Dedup.simhashPairs(docsDf, maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

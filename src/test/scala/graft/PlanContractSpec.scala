@@ -82,7 +82,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q153_dist_drift", "q154_cat_drift", "q155_table_profile",
     "q156_drift_series", "q157_ks_test", "q158_stream_drift",
     "q159_vocab_richness", "q160_containment", "q161_weighted_median",
-    "q162_vocab_diversity")
+    "q162_vocab_diversity", "q163_containment_keep")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
