@@ -136,18 +136,25 @@ object Clusters {
   // ------------------------------------------------------------- q163
   /** PUBLIC API — the CONTAINMENT-AWARE dedup ACTION (round-11,
     * q160's consumer): cluster the containment edges transitively and
-    * keep, per cluster, the LARGEST document (most tokens, ties → min
-    * doc id) — the superset that subsumes every contained member. The
-    * q55 min-id election is right for symmetric near-dup clusters
-    * (all members equivalent); under containment the members are NOT
-    * equivalent — dropping the superset and keeping a fragment loses
-    * text — so the election key is size. Singletons keep themselves. */
+    * keep, per cluster, the LARGEST document (ties → min doc id) — the
+    * superset that subsumes every contained member. The q55 min-id
+    * election is right for symmetric near-dup clusters (all members
+    * equivalent); under containment the members are NOT equivalent —
+    * dropping the superset and keeping a fragment loses text — so the
+    * election key is size. Size here is the POST-CAP DISTINCT-SHINGLE
+    * count ([[graft.operators.Dedup.containmentShingleSizes]]) — the
+    * same measure containment itself is scored on — not raw token
+    * count, which a repetitive fragment can inflate past the genuine
+    * superset (ADVICE r11). Singletons keep themselves; docs with no
+    * shingles (< 3 tokens) elect at sz 0. */
   def containmentKeep(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val edges = Dedup.containmentPairs(docs, threshold)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val cc = connectedComponents(edges)
     val labeled = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("sz"))
+      .select(col("doc_id"))
+      .join(Dedup.containmentShingleSizes(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("sz"), lit(0L)).as("sz"))
       .join(cc.select(col("id").as("doc_id"), col("lbl").as("cluster")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("sz"),
@@ -162,21 +169,16 @@ object Clusters {
   private def q163(s: SparkSession, dir: String): DataFrame =
     containmentKeep(Tables.t(s, dir, "documents"))
 
-  /** Independent oracle: exact string-shingle containment edges +
-    * recursive-CTE closure + the same largest-wins election. */
+  /** Independent oracle: exact string-shingle containment edges (with
+    * the engine's dfCap mirrored via the shared
+    * [[graft.operators.Dedup.containmentCtesSql]] chain) +
+    * recursive-CTE closure + the same largest-shingle-set election. */
   private val q163Sql =
-    """WITH RECURSIVE d AS (
-      |  SELECT doc_id, unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-      |    FOR i IN range(1, len(s) - 1)])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
-      |shsz AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id),
-      |i AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      |  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH RECURSIVE ${Dedup.containmentCtesSql(Dedup.DefaultDfCap)},
       |p AS (SELECT d1, d2 FROM (
       |  SELECT d1, d2, GREATEST(CAST(inter AS DOUBLE) / CAST(s1.sz AS DOUBLE),
       |    CAST(inter AS DOUBLE) / CAST(s2.sz AS DOUBLE)) AS cmax
-      |  FROM i JOIN shsz s1 ON i.d1 = s1.doc_id JOIN shsz s2 ON i.d2 = s2.doc_id) x
+      |  FROM i JOIN sz s1 ON i.d1 = s1.doc_id JOIN sz s2 ON i.d2 = s2.doc_id) x
       |  WHERE cmax >= 0.8),
       |edges AS (SELECT d1 AS src, d2 AS dst FROM p UNION ALL SELECT d2, d1 FROM p),
       |reach(a, b) AS (
@@ -185,9 +187,11 @@ object Clusters {
       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
       |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
       |lab AS (
-      |  SELECT doc_id, COALESCE(c.cluster, doc_id) AS cluster,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
-      |  FROM documents LEFT JOIN comp c ON documents.doc_id = c.id)
+      |  SELECT documents.doc_id, COALESCE(c.cluster, documents.doc_id) AS cluster,
+      |    CAST(COALESCE(s.sz, 0) AS BIGINT) AS sz
+      |  FROM documents
+      |    LEFT JOIN comp c ON documents.doc_id = c.id
+      |    LEFT JOIN sz s ON documents.doc_id = s.doc_id)
       |SELECT doc_id, cluster, sz,
       |  (ROW_NUMBER() OVER (PARTITION BY cluster
       |    ORDER BY sz DESC, doc_id ASC) = 1) AS keep

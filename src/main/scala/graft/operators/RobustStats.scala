@@ -271,6 +271,11 @@ object RobustStats {
       min(col("x")).as("lo1"),
       ((max(col("x")) - min(col("x"))) / lit(B.toDouble)).as("w1"),
       sum(col("wt")).as("wtot"))
+      // a group whose weights sum to zero has no defined weighted
+      // quantile (t = 0 selects an empty first bin and the final
+      // interpolation divides 0/0) — drop it, matching the
+      // drop-undefined contract of the drift operators
+      .where(col("wtot") > 0.0)
       .withColumn("t", lit(q) * col("wtot"))
       .withColumn("c_lo", lit(0.0))
       .localCheckpoint()
@@ -326,7 +331,8 @@ object RobustStats {
          |    SUM(wt) AS wtot,
          |    $q::DOUBLE * SUM(wt) AS t,
          |    0.0::DOUBLE AS c_lo
-         |  FROM ${p}base GROUP BY g)""".stripMargin
+         |  FROM ${p}base GROUP BY g
+         |  HAVING SUM(wt) > 0)""".stripMargin
     val chain = (1 to passes).map { k =>
       val counts =
         s"""${p}rc$k AS (

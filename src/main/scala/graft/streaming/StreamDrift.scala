@@ -104,9 +104,23 @@ object StreamDrift {
 
   /** PUBLIC API — the streaming watchdog: watermarked event-time
     * tumbling windows over a (g, ts, x) stream, each closed window
-    * emitting (window_start, g, n, tvd-vs-baseline). */
+    * emitting (window_start, g, n, tvd-vs-baseline).
+    *
+    * Requires a UTC session timezone: `window(ts, windowLen)` buckets
+    * are epoch/UTC-aligned while the q158 batch twin (and any
+    * `to_date`-bucketed consumer) uses session-timezone days, so the
+    * documented stream-equals-batch guarantee only holds when the two
+    * bucketing rules coincide — i.e. when `spark.sql.session.timeZone`
+    * resolves to offset zero. Every graft entry point pins UTC; this
+    * guard catches a library user who does not. */
   def watch(events: DataFrame, baseline: DataFrame,
-      windowLen: String = "1 day", watermark: String = "1 day"): DataFrame =
+      windowLen: String = "1 day", watermark: String = "1 day"): DataFrame = {
+    val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+      s"StreamDrift.watch requires spark.sql.session.timeZone=UTC (got $tz): " +
+        "window() buckets are UTC-aligned but batch-twin day bucketing " +
+        "follows the session timezone, so non-UTC sessions break the " +
+        "stream-equals-batch guarantee")
     events.withWatermark("ts", watermark)
       .join(broadcast(baseline.select(col("g"), col("lo"), col("hi"))), Seq("g"))
       .withColumn("bin", clampedBin)
@@ -117,6 +131,7 @@ object StreamDrift {
       .withColumn("tvd", tvdCol)
       .select(col("window.start").as("window_start"), col("g"), col("n"),
         col("tvd"))
+  }
 
   /** Q158: the batch twin — baseline fitted on the first fixture
     * fortnight, every later day TVD'd against it through the SAME
