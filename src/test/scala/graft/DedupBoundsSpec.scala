@@ -211,6 +211,107 @@ class DedupBoundsSpec extends AnyFunSuite {
     assert(salted == unsalted)
   }
 
+  // ---- containment candidate bounds (VERDICT r11 #4) ---------------------
+
+  /** Σ C(df, 2) over post-cap shingles — the posting-pair bound every
+    * inverted-index candidate set must respect. */
+  private def postingPairBound(docs: DataFrame, dfCap: Int): Long =
+    graft.operators.Dedup.shingledHashed(docs)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+      .agg(sum(col("df") * (col("df") - 1) / 2).cast("long")).collect()(0).getLong(0)
+
+  test("containment prefix branch equals inverted branch, incl. |A| << |B| pairs") {
+    import spark.implicits._
+    // the pair class the SYMMETRIC Jaccard prefix would legally skip:
+    // a 5-token quote (3 shingles) embedded verbatim in a 30-token host
+    // (jac ~ 0.1, containment 1.0) — plus twins, a boundary pair, and
+    // unrelated fillers
+    val quote = "the exact quoted sentence here"
+    val host = s"long host document begins $quote and then continues with " +
+      "many additional unrelated tokens that dilute the jaccard entirely"
+    val docs = (
+      Seq((1L, quote), (2L, host),
+        (3L, "twin text alpha beta gamma delta"),
+        (4L, "twin text alpha beta gamma delta"),
+        // boundary: 4 of 5 shingles shared -> c = 0.8
+        (5L, "pqr stu vwx yza bcd efg hij"),
+        (6L, "pqr stu vwx yza bcd efg kkk")) ++
+      (100L until 160L).map(i => (i, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f"))
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.7, 0.8, 0.9)) {
+      val inv = graft.operators.Dedup
+        .containmentPairsImpl(docs, t, 10000, forcePrefix = Some(false))
+        .collect().map(_.toString).sorted.toSeq
+      val pref = graft.operators.Dedup
+        .containmentPairsImpl(docs, t, 10000, forcePrefix = Some(true))
+        .collect().map(_.toString).sorted.toSeq
+      assert(pref == inv, s"strategy mismatch at t=$t:\n inv=$inv\n pref=$pref")
+      assert(inv.nonEmpty, s"differential is vacuous at t=$t (no pairs)")
+      assert(inv.exists(_.contains("1,2")) || t > 0.99,
+        s"embedded-quote pair must survive at t=$t")
+    }
+  }
+
+  test("containment candidates respect the posting-pair bound and the prefix reduces them") {
+    import spark.implicits._
+    // every doc shares a 6-word tail (4 common shingles, df = n, under
+    // the cap) but has a unique 4-word head: the inverted index must
+    // generate ~n²/2 candidates from the tail postings; the rarest-first
+    // probe prefix (1 unique head shingle per doc at t = 0.9) generates
+    // only the planted twins
+    val n = 120L
+    val docs = ((0L until n).map(i =>
+      (i, s"h${i}a h${i}b h${i}c h${i}d tail one two three four five")) ++
+      Seq((900L, "planted twin r1 r2 r3 r4 tail one two three four five"),
+        (901L, "planted twin r1 r2 r3 r4 tail one two three four five")))
+      .toDF("doc_id", "text")
+    val bound = postingPairBound(docs, 10000)
+    val ((rowsInv, _), mInv) = observedMetric("q160_cands") {
+      val r = graft.operators.Dedup
+        .containmentPairsImpl(docs, 0.9, 10000, forcePrefix = Some(false)).collect()
+      (r.length, r)
+    }
+    val candsInv = mInv("n_candidates").asInstanceOf[Long]
+    assert(candsInv <= bound,
+      s"inverted-index candidates $candsInv exceed posting-pair bound $bound")
+    assert(candsInv >= n * (n + 1) / 2,
+      s"shared tail must fan out quadratically (got $candsInv)")
+    val ((rowsPref, _), mPref) = observedMetric("q160_cands") {
+      val r = graft.operators.Dedup
+        .containmentPairsImpl(docs, 0.9, 10000, forcePrefix = Some(true)).collect()
+      (r.length, r)
+    }
+    val candsPref = mPref("n_candidates").asInstanceOf[Long]
+    assert(rowsPref == rowsInv, "branches must agree on the result")
+    assert(candsPref < 20,
+      s"prefix filter generated $candsPref candidates vs inverted $candsInv")
+  }
+
+  test("containment df-cap drops the hot shingle and the oracle mirror keeps parity") {
+    import spark.implicits._
+    // 90% of docs share a hot 5-word prefix (3 hot shingles, df ~ 0.9n,
+    // over the cap) + unique tails; planted distinctive twins survive.
+    // The cap drops the hot shingles from intersections AND sz
+    // denominators — the q160/q163 oracles mirror this via
+    // containmentCtesSql, so cap trips cannot diverge engine and oracle.
+    val hot = (0L until 450L).map(i =>
+      (i, s"the quick brown fox jumps u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val planted = (0L until 25L).flatMap(i => Seq(
+      (1000L + 2 * i, s"planted pair p${i}x p${i}y p${i}z p${i}w p${i}v p${i}u"),
+      (1001L + 2 * i, s"planted pair p${i}x p${i}y p${i}z p${i}w p${i}v p${i}u")))
+    val docs = (hot ++ planted).toDF("doc_id", "text")
+    val (rows, m) = observedMetric("q160_df_cap") {
+      graft.operators.Dedup.containmentPairs(docs, threshold = 0.5, dfCap = 50)
+        .collect()
+    }
+    assert(m("dropped_shingles") == 3L, s"hot shingles must be capped: $m")
+    assert(m("max_df").asInstanceOf[Long] == 450L, s"unexpected df profile: $m")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 25L).map(i => (1000L + 2 * i, 1001L + 2 * i)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("q81 CDC segmentation is lossless: chunks reassemble each doc") {
     val docs = Tables.t(spark, sf, "documents").limit(50).cache()
     // losslessness witness: chunks are consecutive substrings of text by
