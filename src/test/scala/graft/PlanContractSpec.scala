@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanLike, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
 import org.scalatest.funsuite.AnyFunSuite
@@ -11,10 +12,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * scale-critical batch queries, count the load-bearing physical-plan
   * features of the EXECUTED (post-AQE) plan — shuffle exchanges,
   * broadcast exchanges, exchange reuses, sort-merge vs broadcast joins,
-  * whole-stage-codegen spans, dynamic-partition-pruning — and diff them
-  * against the checked-in contract (`src/test/resources/plan-contracts.tsv`).
+  * whole-stage-codegen spans, dynamic-partition-pruning, and SOURCE
+  * SCANS — and diff them against the checked-in contract
+  * (`src/test/resources/plan-contracts.tsv`).
   * A silent plan regression (lost broadcast, extra shuffle, a codegen
   * break) then fails `sbt test` instead of waiting for a bench anomaly.
+  *
+  * `scans` counts file-source scan nodes (v1 FileSourceScanLike + v2
+  * BatchScanExec) in the walked executed plan — NOT checkpoint
+  * RDDScans. This is the contract the r10 q150 bug needed: an
+  * uncheckpointed iterative operator re-derives its source lineage
+  * once per branch (2^passes parquet scans) while its shuffle/codegen
+  * counts stay plausible; the scan count is where the explosion shows.
+  * Subtrees under a ReusedExchange are counted once, at their original
+  * site (reuse is its own column).
   *
   * After an INTENTIONAL plan change, regenerate with
   *   GRAFT_WRITE_PLAN_CONTRACTS=1 sbt "testOnly graft.PlanContractSpec"
@@ -101,11 +112,11 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   private final case class Shape(shuffles: Int, broadcasts: Int, reuses: Int,
-      smj: Int, bhj: Int, bnlj: Int, codegen: Int, dpp: Boolean,
+      smj: Int, bhj: Int, bnlj: Int, codegen: Int, scans: Int, dpp: Boolean,
       bloom: Boolean) {
     def render: String = s"shuffles=$shuffles broadcasts=$broadcasts " +
       s"reuses=$reuses smj=$smj bhj=$bhj bnlj=$bnlj codegen=$codegen " +
-      s"dpp=$dpp bloom=$bloom"
+      s"scans=$scans dpp=$dpp bloom=$bloom"
   }
 
   private def shapeOf(df: DataFrame): Shape = {
@@ -133,6 +144,8 @@ class PlanContractSpec extends AnyFunSuite {
       bnlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       codegen = "\\[codegen id : (\\d+)\\]".r
         .findAllMatchIn(formatted).map(_.group(1)).toSet.size,
+      scans = nodes.count(n =>
+        n.isInstanceOf[FileSourceScanLike] || n.isInstanceOf[BatchScanExec]),
       dpp = formatted.contains("dynamicpruning"),
       bloom = formatted.contains("might_contain"))
   }
