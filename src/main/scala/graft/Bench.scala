@@ -121,20 +121,50 @@ object Bench {
     val (ok, bad) = all.partition(_._2 >= 0)
     val total = ok.map(_._2).sum
     val failed = bad.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+
+    // SELF-ADJUDICATION (VERDICT r11 #2): the closing-ledger invariant
+    // "no row above 2x its baseline" was twice asserted from a board
+    // recorded under load and twice walked back by a judge's quiet
+    // re-run. Machine-verify it instead: after the full board, re-run
+    // (median-of-3) every query whose board time exceeds 2x its latest
+    // ledger baseline (Baselines parses BASELINE.md directly, so a
+    // re-baselining addendum is picked up on its next run) and report
+    // both numbers. A genuinely regressed query stays >2x on the
+    // re-run; a load artifact doesn't. Subset runs skip this — their
+    // board is a dev probe, not an invariant claim.
+    // ledger baselines are sf0.1 numbers — comparing another SF's board
+    // against them would adjudicate everything (or nothing) spuriously
+    val atLedgerSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val adjudicated: Seq[(String, Double, Double)] =
+      if (only.nonEmpty || !atLedgerSf) Seq.empty
+      else {
+        val baselines = Baselines.parse()
+        all.collect {
+          case (n, v) if v >= 0 && baselines.get(n).exists(b => v > 2 * b) =>
+            val times = (1 to runs).map(_ => once(n)).filter(_ >= 0).sorted
+            val rerun = if (times.isEmpty) -1.0 else times(times.size / 2)
+            (n, v, rerun)
+        }
+      }
+    val adjJson = adjudicated.map { case (n, board, rerun) =>
+      "\"" + n + s"""":[$board,$rerun]"""
+    }.mkString("{", ",", "}")
     val streaming = streamDetail.toSeq.sortBy(_._1).map { case (k, (n, m)) =>
       "\"" + k + s"""":{"triggers":$n,"batch_median_sec":$m}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"adjudicated":$adjJson,"sf":"$sfDir"}"""
     println(line)
     // the COMPLETE machine-readable board (the driver artifact may
     // truncate long stdout): target/bench_board.json for tooling plus a
     // TRACKED copy at BENCH_BOARD.json (target/ is gitignored) so every
     // round's full board is diffable in git history. The tracked copy is
-    // written ONLY on full-registry runs — a SPARK_GRAFT_BENCH_ONLY dev
-    // subset must not silently clobber the committed board (ADVICE r9).
+    // written ONLY on full-registry runs AT THE LEDGER SF — a
+    // SPARK_GRAFT_BENCH_ONLY dev subset (ADVICE r9) or a full run at a
+    // different scale factor (an sf0.01 smoke run did exactly this in
+    // r12) must not silently clobber the committed sf0.1 board.
     val boardPaths = "target/bench_board.json" ::
-      (if (only.isEmpty) List("BENCH_BOARD.json") else Nil)
+      (if (only.isEmpty && atLedgerSf) List("BENCH_BOARD.json") else Nil)
     boardPaths.foreach { p =>
       try {
         val out = java.nio.file.Paths.get(p)
@@ -159,8 +189,14 @@ object Bench {
     val topN = slowest.take(20)
     val compactQs = topN.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // adjudication in the compact line too (capped so the headline stays
+    // under the driver's ~2 KB tail capture; full detail is in the board)
+    val adjTop = adjudicated.take(8)
+    val compactAdj = adjTop.map { case (n, b, r) =>
+      "\"" + n + s"""":[${ms(b)},${ms(r)}]"""
+    }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${ok.size},"queries_slowest":$compactQs,"queries_omitted":${ok.size - topN.size},"failed":$failed,"full_board":"BENCH_BOARD.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${ok.size},"queries_slowest":$compactQs,"queries_omitted":${ok.size - topN.size},"failed":$failed,"adjudicated":$compactAdj,"adjudicated_omitted":${adjudicated.size - adjTop.size},"full_board":"BENCH_BOARD.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }
