@@ -21,6 +21,7 @@ import java.nio.file.{Files, Path, Paths}
   *   GET /api/v1/queries              registered query ids (+ oracle flag)
   *   GET /api/v1/queries/{id}/sql     the registered DuckDB oracle SQL
   *   GET /api/v1/bench                the bench board JSON (newest copy)
+  *   GET /api/v1/baseline             ledger baselines ⋈ current board, as ratios
   *   GET /api/v1/correctness          latest driver CORRECTNESS_r*.json
   *   GET /api/v1/metrics              metrics.jsonl from the last Verify
   *   GET /api/v1/plans                available executed-plan artifacts
@@ -113,11 +114,22 @@ object OpsServer {
     graft.SparkEntry.queries.keys.map(k => k -> oracles.get(k)).toMap
   }
 
+  /** Per-query seconds out of a bench-board JSON without a JSON library:
+    * inside the board, `"q...":<number>` pairs occur ONLY in the
+    * `queries` map (streaming detail values are objects, adjudication
+    * values are arrays, so neither shape matches). */
+  private[ops] def boardQueryTimes(p: Path): Map[String, Double] = {
+    val Pat = "\"(q[A-Za-z0-9_]+)\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+    Pat.findAllMatchIn(Files.readString(p, UTF_8))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def start(port: Int,
       benchPaths: Seq[String] = Seq("BENCH_BOARD.json", "target/bench_board.json"),
       metricsPaths: Seq[String] = Seq("target/verify_plans/metrics.jsonl"),
       plansDir: String = "target/verify_plans",
-      correctnessDir: String = "."): Running = {
+      correctnessDir: String = ".",
+      baselinePath: String = "BASELINE.md"): Running = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     server.createContext("/api/v1/health", (ex: HttpExchange) =>
@@ -147,6 +159,48 @@ object OpsServer {
         case Some(p) => serveFile(ex, p, "application/json")
         case None => notFound(ex, benchPaths.mkString(" | "))
       })
+
+    // the operator question "am I regressed?" previously required
+    // cross-reading 1,700 lines of ledger markdown against the board
+    // JSON (VERDICT r11 #6); here it is one curl: every query's latest
+    // recorded sf0.1 baseline joined with the newest board time, as a
+    // computed ratio, worst first
+    server.createContext("/api/v1/baseline", (ex: HttpExchange) => {
+      val baselines = graft.Baselines.parse(Paths.get(baselinePath))
+      if (baselines.isEmpty) notFound(ex, s"$baselinePath (no parsable baselines)")
+      else {
+        val boardPath = newestOf(benchPaths)
+        val board = boardPath.map(boardQueryTimes).getOrElse(Map.empty)
+        def r3(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        val rows = (baselines.keySet ++ board.keySet).toSeq
+          .map { id =>
+            val b = baselines.get(id)
+            val t = board.get(id).filter(_ >= 0)
+            val ratio = for (bv <- b; tv <- t) yield tv / bv
+            (id, b, t, ratio)
+          }
+          .sortBy { case (id, _, _, ratio) => (-ratio.getOrElse(-1.0), id) }
+          .map { case (id, b, t, ratio) =>
+            s"""{"id":${jsonStr(id)},"baseline":${b.map(r3).getOrElse("null")},""" +
+              s""""board":${t.map(r3).getOrElse("null")},""" +
+              s""""ratio":${ratio.map(r3).getOrElse("null")}}"""
+          }.mkString("[", ",", "]")
+        val over = (baselines.keySet ++ board.keySet).count { id =>
+          (for (bv <- baselines.get(id); tv <- board.get(id).filter(_ >= 0))
+            yield tv > 2 * bv).getOrElse(false)
+        }
+        boardPath.foreach { p =>
+          ex.getResponseHeaders.set("X-Graft-Board-Path", p.toString)
+          ex.getResponseHeaders.set("X-Graft-Board-Mtime",
+            Files.getLastModifiedTime(p).toInstant.toString)
+        }
+        reply(ex, 200,
+          s"""{"baseline_source":${jsonStr(baselinePath)},""" +
+            s""""n_baselines":${baselines.size},"n_board":${board.size},""" +
+            s""""over_2x":$over,"rows":$rows}""")
+      }
+    })
 
     server.createContext("/api/v1/correctness", (ex: HttpExchange) =>
       latestCorrectness(Paths.get(correctnessDir)) match {

@@ -88,6 +88,57 @@ class OpsServerSpec extends AnyFunSuite {
     }
   }
 
+  test("baseline joins ledger baselines with the board as worst-first ratios") {
+    val dir = Files.createTempDirectory("graft_ops_baseline")
+    val ledger = dir.resolve("BASELINE.md")
+    Files.writeString(ledger,
+      """|| Query | sf | sec/query (baseline) | config | recorded |
+         ||---|---|---|---|---|
+         || q_fast | 0.1 | 1.0 | `local[32]` | r1 |
+         || q_slow | 0.1 | 0.5 | `local[32]` | r1 |
+         || q_unrun | 0.1 | 2.0 | `local[32]` | r1 |
+         |""".stripMargin)
+    val board = dir.resolve("board.json")
+    // q_slow at 3x its baseline; q_extra has no ledger row; the
+    // streaming object and adjudication array must NOT parse as times
+    Files.writeString(board,
+      """{"metric":"total","value":4.3,"queries":{"q_fast":0.8,"q_slow":1.5,"q_extra":2.0},""" +
+        """"streaming":{"q_fast":{"triggers":3,"batch_median_sec":0.1}},""" +
+        """"adjudicated":{"q_slow":[1.5,0.6]}}""")
+    val running = ops.OpsServer.start(0,
+      benchPaths = Seq(board.toString), baselinePath = ledger.toString)
+    try {
+      val r = get(HttpClient.newHttpClient(), running.port, "/api/v1/baseline")
+      assert(r.statusCode() == 200)
+      val body = r.body()
+      assert(body.contains(""""over_2x":1"""), body)
+      assert(body.contains(
+        """{"id":"q_slow","baseline":0.500,"board":1.500,"ratio":3.000}"""), body)
+      assert(body.contains(
+        """{"id":"q_fast","baseline":1.000,"board":0.800,"ratio":0.800}"""), body)
+      assert(body.contains(
+        """{"id":"q_unrun","baseline":2.000,"board":null,"ratio":null}"""), body)
+      assert(body.contains(
+        """{"id":"q_extra","baseline":null,"board":2.000,"ratio":null}"""), body)
+      // worst ratio leads
+      assert(body.indexOf("q_slow") < body.indexOf("q_fast"), body)
+      assert(r.headers().firstValue("X-Graft-Board-Mtime").isPresent)
+    } finally running.stop()
+  }
+
+  test("baseline endpoint reads the REAL ledger against the tracked board") {
+    // non-hermetic on purpose: the repo's own BASELINE.md + BENCH_BOARD
+    // must join (this is the exact curl an operator runs from the root)
+    val running = ops.OpsServer.start(0)
+    try {
+      val body = get(HttpClient.newHttpClient(), running.port, "/api/v1/baseline").body()
+      val n = "\"n_baselines\":(\\d+)".r.findFirstMatchIn(body).get.group(1).toInt
+      assert(n >= SparkEntry.queries.size,
+        s"ledger parse found only $n baselines for ${SparkEntry.queries.size} queries")
+      assert(body.contains("\"id\":\"q07_tpch_q1\""))
+    } finally running.stop()
+  }
+
   test("bench prefers the NEWEST candidate board by mtime") {
     val dir = Files.createTempDirectory("graft_ops_bench")
     val stale = dir.resolve("tracked.json")
