@@ -80,6 +80,7 @@ object Registry {
       operators.Conversion.defs ++
       operators.Extraction.defs ++
       operators.Ols.defs ++
+      operators.Assoc.defs ++
       operators.Baskets.defs ++
       operators.SlidingDistinct.defs ++
       operators.Mad.defs ++

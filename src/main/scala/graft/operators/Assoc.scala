@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12: FEATURE ASSOCIATION AUDIT — the "which columns move
+  * together" pass a training-data pipeline runs before feature
+  * selection / leakage review: a Pearson correlation matrix over the
+  * numeric columns (q164) and Cramér's V over categorical column
+  * pairs (q165). Together they answer, for every column pair, "is one
+  * redundant given the other" — numeric via moments, categorical via
+  * the χ² contingency statistic.
+  *
+  * Spark-first shape, q164: ALL pairwise correlations come from ONE
+  * scan — the 2k + k(k−1)/2 + 1 moment sums (Σxᵢ, Σxᵢ², Σxᵢxⱼ, n) are
+  * a single map-side-combinable groupBy, and the pair matrix is an
+  * explode over the tiny aggregated frame (k=4 → 15 sums, 6 pair rows
+  * per group). At 100 TB this is exactly one exchange of 15 numbers
+  * per group — never a self-join, never k scans.
+  *
+  * Spark-first shape, q165: one wordcount-shaped (a, b) cell count per
+  * table scan; row/column marginals are re-aggregations OF THE CELL
+  * FRAME (≤ r·c rows — never a rescan of the fact table) broadcast
+  * back onto it, and χ² = Σ o²/e − n folds only the OBSERVED cells
+  * (the algebraic shortcut makes zero cells free — see [[cramersV]]).
+  * Three table scans total for three audited pairs.
+  *
+  * Determinism/oracle: every moment/cell input is accumulated as
+  * DECIMAL(38,12) (exact, order-independent — the [[graft.Canon]]
+  * discipline); the closed forms are then single +−×÷√ double
+  * expressions. IEEE-754 sqrt is correctly rounded, so identical
+  * inputs give bit-identical outputs in both engines, and DuckDB
+  * replays the matrix to the rounded digit. χ² cell terms o²/e are
+  * computed in doubles from identical integers and cast per-cell to
+  * DECIMAL(38,12) before summing, making the fold order-independent
+  * too; the final Σ o²/e − n is clamped at 0 so float dust under exact
+  * independence cannot leak a negative χ² into the √.
+  */
+object Assoc {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(38,12)")).cast("double")
+
+  /** PUBLIC API — per-group Pearson correlation matrix over the given
+    * numeric columns of `base` (group column `g`): one row per
+    * unordered column pair, (g, col_x, col_y, n, corr) with corr
+    * 9-dp rounded; pairs with a degenerate side (zero variance) emit
+    * NULL. Single scan, single aggregation, any column count. */
+  def corrMatrix(base: DataFrame, cols: Seq[String]): DataFrame = {
+    val moments = base.groupBy(col("g")).agg(
+      count(lit(1)).cast("double").as("n"),
+      (cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+        cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          dsum(col(a) * col(b)).as(s"sp_${a}_$b")
+        }.toSeq): _*)
+    val pairRows = cols.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+        col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"),
+        col(s"sp_${a}_$b").as("sxy"))
+    }.toSeq
+    moments
+      .select(col("g"), col("n"), explode(array(pairRows: _*)).as("p"))
+      .select(col("g"), col("p.col_x"), col("p.col_y"), col("n"),
+        (col("n") * col("p.sxx") - col("p.sx") * col("p.sx")).as("dx"),
+        (col("n") * col("p.syy") - col("p.sy") * col("p.sy")).as("dy"),
+        (col("n") * col("p.sxy") - col("p.sx") * col("p.sy")).as("cov"))
+      .select(col("g"), col("col_x"), col("col_y"),
+        col("n").cast("long").as("n"),
+        when(col("dx") * col("dy") > 0,
+          round(col("cov") / sqrt(col("dx") * col("dy")), 9))
+          .otherwise(lit(null)).as("corr"))
+      .orderBy(col("g").asc_nulls_last, col("col_x").asc_nulls_last,
+        col("col_y").asc_nulls_last)
+  }
+
+  /** PUBLIC API — Cramér's V of one categorical pair over (a, b) rows:
+    * a single labelled row (pair, n, r, c, dof, chi2, v), chi2/v 9-dp
+    * rounded. Cell counts in one scan; marginals are tiny per-level
+    * re-aggregations of the ≤ r·c cell frame, broadcast back onto it;
+    * V = √(χ² / (n·min(r−1, c−1))). Pairs where either side is
+    * constant (min(r−1, c−1) = 0) emit NULL v.
+    *
+    * χ² uses the algebraic shortcut Σ(o−e)²/e = Σ o²/e − n, summing
+    * ONLY observed cells: a structurally-zero cell contributes 0 to
+    * Σ o²/e, so the full r×c expected grid — whose zero cells each owe
+    * an e term to the naive sum — never needs materializing. That is
+    * both the correctness fix (dropping zero cells from the naive sum
+    * understates χ²) and the scale story: sparse contingency tables
+    * (r·c ≫ observed cells) cost only the observed cells. */
+  def cramersV(base: DataFrame, pairName: String): DataFrame = {
+    // the ≤ r·c cell frame feeds FOUR consumers (terms + both marginals
+    // + the total); without materialization each re-derives the full
+    // scan lineage (the q126/q150 lesson) — checkpoint the tiny frame
+    // so the fact table is scanned exactly once per audited pair
+    val cells = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rowMarg = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val colMarg = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val total = cells.agg(sum(col("o")).as("nn"))
+    val terms = cells
+      .join(broadcast(rowMarg), "a")
+      .join(broadcast(colMarg), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
+        col("nn").cast("double"))
+      .withColumn("term",
+        (col("o").cast("double") * col("o").cast("double") / col("e"))
+          .cast("decimal(38,12)"))
+    terms
+      .agg(max(col("nn")).as("n"),
+        count_distinct(col("a")).as("r"),
+        count_distinct(col("b")).as("c"),
+        sum(col("term")).cast("double").as("sumsq"))
+      .select(lit(pairName).as("pair"), col("n"), col("r"), col("c"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        round(greatest(col("sumsq") - col("n").cast("double"), lit(0.0)), 9)
+          .as("chi2"),
+        when(least(col("r"), col("c")) > 1,
+          round(sqrt(
+            greatest(col("sumsq") - col("n").cast("double"), lit(0.0)) /
+              (col("n").cast("double") *
+                least(col("r") - 1, col("c") - 1).cast("double"))), 9))
+          .otherwise(lit(null)).as("v"))
+  }
+
+  /** Q164: correlation matrix of the four lineitem numeric measures
+    * per return flag — the per-segment redundancy audit. The fixture
+    * generates price independently of quantity, so the matrix is
+    * near-diagonal; the audit's value is exactly that it PROVES the
+    * independence instead of assuming it. */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    corrMatrix(
+      Tables.t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax")),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  private val q164Cols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val q164Sql: String = {
+    val sums = (q164Cols.map(c =>
+      s"    CAST(SUM(CAST($c AS DECIMAL(38,12))) AS DOUBLE) AS s_$c") ++
+      q164Cols.map(c =>
+        s"    CAST(SUM(CAST($c * $c AS DECIMAL(38,12))) AS DOUBLE) AS ss_$c") ++
+      q164Cols.combinations(2).map { case Seq(a, b) =>
+        s"    CAST(SUM(CAST($a * $b AS DECIMAL(38,12))) AS DOUBLE) AS sp_${a}_$b"
+      }).mkString(",\n")
+    val pairSelects = q164Cols.combinations(2).map { case Seq(a, b) =>
+      s"""  SELECT g, '$a' AS col_x, '$b' AS col_y, n,
+         |    n * ss_$a - s_$a * s_$a AS dx, n * ss_$b - s_$b * s_$b AS dy,
+         |    n * sp_${a}_$b - s_$a * s_$b AS cov FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
+       |$sums
+       |  FROM lineitem GROUP BY 1),
+       |p AS (
+       |$pairSelects)
+       |SELECT g, col_x, col_y, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN dx * dy > 0 THEN ROUND(cov / SQRT(dx * dy), 9) END AS corr
+       |FROM p
+       |ORDER BY g ASC NULLS LAST, col_x ASC NULLS LAST, col_y ASC NULLS LAST""".stripMargin
+  }
+
+  /** Q165: Cramér's V for three audited categorical pairs across three
+    * tables — order status×priority, lineitem flag×status, document
+    * lang×source. One scan per table, union of three 1-row results. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val li = cramersV(Tables.t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("a"), col("l_linestatus").as("b")),
+      "lineitem.returnflag_x_linestatus")
+    val ord = cramersV(Tables.t(s, dir, "orders")
+      .select(col("o_orderstatus").as("a"), col("o_orderpriority").as("b")),
+      "orders.status_x_priority")
+    val doc = cramersV(Tables.t(s, dir, "documents")
+      .select(col("lang").as("a"), col("source").as("b")),
+      "documents.lang_x_source")
+    li.unionAll(ord).unionAll(doc).orderBy(col("pair").asc_nulls_last)
+  }
+
+  private def cramersSql(from: String, a: String, b: String,
+      pairName: String): String =
+    s"""  SELECT '$pairName' AS pair, CAST(n AS BIGINT) AS n, r, c,
+       |    (r - 1) * (c - 1) AS dof,
+       |    ROUND(GREATEST(sumsq - CAST(n AS DOUBLE), 0.0), 9) AS chi2,
+       |    CASE WHEN LEAST(r, c) > 1 THEN
+       |      ROUND(SQRT(GREATEST(sumsq - CAST(n AS DOUBLE), 0.0) /
+       |        (CAST(n AS DOUBLE) *
+       |          CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 9) END AS v
+       |  FROM (
+       |    SELECT MAX(nn) AS n, COUNT(DISTINCT a) AS r,
+       |      COUNT(DISTINCT b) AS c,
+       |      CAST(SUM(term) AS DOUBLE) AS sumsq
+       |    FROM (
+       |      SELECT a, b, o, nn,
+       |        CAST(CAST(o AS DOUBLE) * CAST(o AS DOUBLE) / e
+       |          AS DECIMAL(38,12)) AS term
+       |      FROM (
+       |        SELECT a, b, o,
+       |          SUM(o) OVER () AS nn,
+       |          CAST(SUM(o) OVER (PARTITION BY a) AS DOUBLE) *
+       |            CAST(SUM(o) OVER (PARTITION BY b) AS DOUBLE) /
+       |            CAST(SUM(o) OVER () AS DOUBLE) AS e
+       |        FROM (SELECT $a AS a, $b AS b, COUNT(*) AS o
+       |              FROM $from GROUP BY 1, 2) cells) marg) terms)""".stripMargin
+
+  private val q165Sql: String =
+    Seq(
+      cramersSql("lineitem", "l_returnflag", "l_linestatus",
+        "lineitem.returnflag_x_linestatus"),
+      cramersSql("orders", "o_orderstatus", "o_orderpriority",
+        "orders.status_x_priority"),
+      cramersSql("documents", "lang", "source",
+        "documents.lang_x_source"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY pair ASC NULLS LAST")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q164_corr_matrix", q164, Some(q164Sql)),
+    QueryDef("q165_cramers_v", q165, Some(q165Sql)))
+}

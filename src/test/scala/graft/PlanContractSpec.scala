@@ -93,7 +93,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q153_dist_drift", "q154_cat_drift", "q155_table_profile",
     "q156_drift_series", "q157_ks_test", "q158_stream_drift",
     "q159_vocab_richness", "q160_containment", "q161_weighted_median",
-    "q162_vocab_diversity", "q163_containment_keep")
+    "q162_vocab_diversity", "q163_containment_keep", "q164_corr_matrix",
+    "q165_cramers_v")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

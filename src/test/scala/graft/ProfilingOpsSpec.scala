@@ -294,6 +294,49 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(dD == 9L && dEff < 1.1 && dTop > 0.98, s"dominated vocab: $got")
   }
 
+  test("q164: corr matrix reads planted relations — linear ±1, constant null, " +
+      "balanced-alternation near 0") {
+    // y = 2x+1 → corr 1; z = −x → corr −1 (and corr(y,z) = −1); w
+    // constant → zero variance → NULL; all from ONE aggregation
+    val df = (1 to 400).map(i =>
+      ("a", i.toDouble, 2.0 * i + 1.0, -i.toDouble, 7.0))
+      .toDF("g", "x", "y", "z", "w")
+    val got = operators.Assoc.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(got.size == 6, s"4 columns must yield 6 unordered pairs: $got")
+    assert(got(("x", "y")) == 1.0 && got(("x", "z")) == -1.0 &&
+      got(("y", "z")) == -1.0, s"planted linear relations: $got")
+    assert(got(("x", "w")) == null && got(("y", "w")) == null &&
+      got(("z", "w")) == null, "constant column must read NULL, not NaN")
+    // balanced alternation: u = i, v = i mod 2 over full periods — the
+    // residual correlation of a 400-long alternation is ~0
+    val uv = (1 to 400).map(i => ("b", i.toDouble, (i % 2).toDouble))
+      .toDF("g", "u", "v")
+    val near0 = operators.Assoc.corrMatrix(uv, Seq("u", "v"))
+      .collect()(0).getDouble(4)
+    assert(math.abs(near0) < 0.01, s"alternation must read ~0: $near0")
+  }
+
+  test("q165: Cramér's V reads 1 on a copy, 0 on exact independence, NULL on a " +
+      "constant side") {
+    def v(rows: Seq[(String, String)], name: String) =
+      operators.Assoc.cramersV(rows.toDF("a", "b"), name).collect()(0)
+    // b = a (3 levels × 60) → perfect association: χ² = n·(r−1), V = 1
+    val copy = (1 to 180).map(i => (s"k${i % 3}", s"k${i % 3}"))
+    val rc = v(copy, "copy")
+    assert(rc.getDouble(5) == 360.0 && rc.getDouble(6) == 1.0,
+      s"copy pair must saturate: $rc")
+    // full 2×3 cross product × 30 → exactly uniform cells: χ² = V = 0
+    val indep = (0 until 180).map(i => (s"a${i % 2}", s"b${(i / 2) % 3}"))
+    val ri = v(indep, "indep")
+    assert(ri.getDouble(5) == 0.0 && ri.getDouble(6) == 0.0,
+      s"exact independence must read zero: $ri")
+    // constant b → min(r−1, c−1) = 0 → V undefined, emitted as NULL
+    val const = (1 to 100).map(i => (s"a${i % 4}", "only"))
+    assert(v(const, "const").isNullAt(6), "constant side must read NULL")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
