@@ -126,6 +126,99 @@ object Assoc {
           .otherwise(lit(null)).as("v"))
   }
 
+  /** Average-rank frame of one numeric column per group: (g, c, r_c)
+    * with r_c = cnt_less + (cnt_eq + 1)/2 — the tie-averaged rank
+    * Spearman needs, computed WITHOUT a per-group global sort. The
+    * cumulative count over distinct values is two-phase (the q56
+    * discipline): values are binned into `bins` range blocks (floor is
+    * monotone, so blocking preserves the value order), the within-block
+    * cumulative window is bounded by a block's distinct values, and the
+    * only per-group serial window runs over the ≤`bins`-row block-total
+    * frame. Ranks are half-integers — exact in doubles at any corpus
+    * size that fits a long. */
+  private def rankFrame(base: DataFrame, c: String, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // distinct-value counts: the only fact-scale pass for this column
+    val vals = base.groupBy(col("g"), col(c))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val rng = vals.groupBy(col("g"))
+      .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    val blocked = vals.join(broadcast(rng), "g")
+      .withColumn("blk",
+        when(col("mx") > col("mn"),
+          least(floor((col(c) - col("mn")) /
+            ((col("mx") - col("mn")) / bins)), lit(bins - 1)))
+          .otherwise(lit(0)).cast("int"))
+    val wIn = Window.partitionBy(col("g"), col("blk")).orderBy(col(c))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = blocked.withColumn("cum", sum(col("cnt")).over(wIn))
+    val wOff = Window.partitionBy(col("g")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = blocked.groupBy(col("g"), col("blk"))
+      .agg(sum(col("cnt")).as("bn"))
+      .withColumn("boff", sum(col("bn")).over(wOff) - col("bn"))
+      .select(col("g"), col("blk"), col("boff"))
+    within.join(broadcast(off), Seq("g", "blk"))
+      .select(col("g"), col(c),
+        (col("boff") + col("cum") - col("cnt") +
+          (col("cnt") + 1) / lit(2.0)).as(s"r_$c"))
+  }
+
+  /** PUBLIC API — per-group Spearman rank-correlation matrix: Pearson
+    * ([[corrMatrix]]) over tie-averaged ranks. Monotone-transform
+    * invariant and outlier-robust where q164's Pearson is neither; the
+    * matrix shape, NULL contract, and decimal-moment oracle parity are
+    * corrMatrix's own (ranks are exact half-integers, so every moment
+    * input replays). One rank build per column (its single fact pass)
+    * plus one row pass joining ranks back by (g, value). */
+  def spearman(base: DataFrame, cols: Seq[String],
+      bins: Int = 256): DataFrame = {
+    val ranked = cols.foldLeft(base)((df, c) =>
+      df.join(rankFrame(base, c, bins), Seq("g", c)))
+      .select(col("g") +: cols.map(c => col(s"r_$c").as(c)): _*)
+    corrMatrix(ranked, cols).withColumnRenamed("corr", "rho")
+  }
+
+  /** PUBLIC API — per-group lag-k autocorrelation of a regular (daily)
+    * series (g, d: date, x): one row per (g, lag ≤ maxLag) with the
+    * textbook sample ACF ρ(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²,
+    * x̄ the full-series mean; both sums expand to decimal moment sums
+    * of integer-derived terms, so DuckDB replays every value. Pairs
+    * exist only where BOTH days are observed (a gapped lag contributes
+    * nothing); lags with no pair are absent; a constant series (zero
+    * variance) emits NULL. The series frame is checkpointed once —
+    * groups × days rows — and every downstream step (lag self-join,
+    * moment folds) touches only that tiny frame, never the fact. */
+  def autocorr(series: DataFrame, maxLag: Int): DataFrame = {
+    val s = series.select(col("g"), col("d"), col("x")).localCheckpoint()
+    val tot = s.groupBy(col("g")).agg(
+      count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+      dsum(col("x") * col("x")).as("sxx"))
+    // equi-join on (g, d + lag): the lag target date is projected on
+    // the probe side so this is a hash/sort join on the day key, never
+    // a per-group day×day cross join
+    val pairs = s
+      .select(col("g"), col("d"), col("x"),
+        explode(expr(s"sequence(1, $maxLag)")).as("lag"))
+      .withColumn("d2", date_add(col("d"), col("lag")))
+      .join(s.select(col("g"), col("d").as("d2"), col("x").as("x2")),
+        Seq("g", "d2"))
+    pairs.groupBy(col("g"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("x") * col("x2")).as("sxy"),
+        dsum(col("x")).as("sa"), dsum(col("x2")).as("sb"))
+      .join(tot, "g")
+      .select(col("g"), col("lag"), col("n").as("n_days"), col("n_pairs"),
+        (col("sx") / col("n")).as("xbar"), col("sxy"), col("sa"), col("sb"),
+        col("sxx"), col("n"))
+      .select(col("g"), col("lag"), col("n_days"), col("n_pairs"),
+        when(col("sxx") - col("n") * col("xbar") * col("xbar") > 0,
+          round((col("sxy") - col("xbar") * (col("sa") + col("sb")) +
+            col("n_pairs") * col("xbar") * col("xbar")) /
+            (col("sxx") - col("n") * col("xbar") * col("xbar")), 9))
+          .otherwise(lit(null)).as("acf"))
+      .orderBy(col("g").asc_nulls_last, col("lag").asc_nulls_last)
+  }
+
   /** Q164: correlation matrix of the four lineitem numeric measures
     * per return flag — the per-segment redundancy audit. The fixture
     * generates price independently of quantity, so the matrix is
@@ -218,7 +311,101 @@ object Assoc {
         "documents.lang_x_source"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY pair ASC NULLS LAST")
 
+  /** Q166: Spearman matrix of the same four lineitem measures per
+    * return flag — q164's robust twin. Where Pearson reads tail-driven
+    * co-movement, rank correlation reads the monotone relationship the
+    * feature-selection question actually asks about. */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    spearman(
+      Tables.t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax")),
+      q164Cols)
+
+  private val q166Sql: String = {
+    val rankCtes = q164Cols.map(c =>
+      s"""rk_$c AS (
+         |  SELECT g, v, SUM(cnt) OVER (PARTITION BY g ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) - cnt + (cnt + 1) / 2.0 AS rnk
+         |  FROM (SELECT g, $c AS v, COUNT(*) AS cnt FROM r GROUP BY 1, 2))""")
+      .mkString(",\n")
+    val joins = q164Cols.zipWithIndex.map { case (c, i) =>
+      s"JOIN rk_$c j$i ON r.g = j$i.g AND r.$c = j$i.v"
+    }.mkString("\n    ")
+    val rankedCols = q164Cols.zipWithIndex
+      .map { case (c, i) => s"j$i.rnk AS $c" }.mkString(", ")
+    val sums = (q164Cols.map(c =>
+      s"    CAST(SUM(CAST($c AS DECIMAL(38,12))) AS DOUBLE) AS s_$c") ++
+      q164Cols.map(c =>
+        s"    CAST(SUM(CAST($c * $c AS DECIMAL(38,12))) AS DOUBLE) AS ss_$c") ++
+      q164Cols.combinations(2).map { case Seq(a, b) =>
+        s"    CAST(SUM(CAST($a * $b AS DECIMAL(38,12))) AS DOUBLE) AS sp_${a}_$b"
+      }).mkString(",\n")
+    val pairSelects = q164Cols.combinations(2).map { case Seq(a, b) =>
+      s"""  SELECT g, '$a' AS col_x, '$b' AS col_y, n,
+         |    n * ss_$a - s_$a * s_$a AS dx, n * ss_$b - s_$b * s_$b AS dy,
+         |    n * sp_${a}_$b - s_$a * s_$b AS cov FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH r AS (
+       |  SELECT l_returnflag AS g, l_quantity, l_extendedprice,
+       |    l_discount, l_tax FROM lineitem),
+       |$rankCtes,
+       |ranked AS (
+       |  SELECT r.g, $rankedCols
+       |  FROM r
+       |    $joins),
+       |m AS (
+       |  SELECT g, CAST(COUNT(*) AS DOUBLE) AS n,
+       |$sums
+       |  FROM ranked GROUP BY 1),
+       |p AS (
+       |$pairSelects)
+       |SELECT g, col_x, col_y, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN dx * dy > 0 THEN ROUND(cov / SQRT(dx * dy), 9) END AS rho
+       |FROM p
+       |ORDER BY g ASC NULLS LAST, col_x ASC NULLS LAST, col_y ASC NULLS LAST""".stripMargin
+  }
+
+  /** Q167: lag-1..7 autocorrelation of the daily event-count series
+    * per event type — "is ingest volume mean-reverting, trending, or
+    * weekly-periodic", the time-axis companion to q156's drift series.
+    * Counts are exact integers, so the whole chain replays. */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    autocorr(
+      Tables.t(s, dir, "events")
+        .groupBy(col("event_type").as("g"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x")),
+      maxLag = 7)
+
+  private val q167Sql: String =
+    s"""WITH s AS (
+       |  SELECT event_type AS g, CAST(ts AS DATE) AS d,
+       |    CAST(COUNT(*) AS DOUBLE) AS x
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT g, COUNT(*) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |  FROM s GROUP BY 1),
+       |pr AS (
+       |  SELECT a.g, lag, COUNT(*) AS n_pairs,
+       |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(a.x AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+       |    CAST(SUM(CAST(b.x AS DECIMAL(38,12))) AS DOUBLE) AS sb
+       |  FROM s a
+       |    CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+       |    JOIN s b ON a.g = b.g AND b.d = a.d + CAST(lag AS INTEGER)
+       |  GROUP BY 1, 2)
+       |SELECT pr.g, lag, n AS n_days, n_pairs,
+       |  CASE WHEN sxx - n * (sx / n) * (sx / n) > 0 THEN
+       |    ROUND((sxy - (sx / n) * (sa + sb) + n_pairs * (sx / n) * (sx / n))
+       |      / (sxx - n * (sx / n) * (sx / n)), 9) END AS acf
+       |FROM pr JOIN tot ON pr.g = tot.g
+       |ORDER BY pr.g ASC NULLS LAST, lag ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q164_corr_matrix", q164, Some(q164Sql)),
-    QueryDef("q165_cramers_v", q165, Some(q165Sql)))
+    QueryDef("q165_cramers_v", q165, Some(q165Sql)),
+    QueryDef("q166_spearman", q166, Some(q166Sql)),
+    QueryDef("q167_autocorr", q167, Some(q167Sql)))
 }

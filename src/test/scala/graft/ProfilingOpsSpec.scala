@@ -337,6 +337,63 @@ class ProfilingOpsSpec extends AnyFunSuite {
     assert(v(const, "const").isNullAt(6), "constant side must read NULL")
   }
 
+  test("q166: Spearman is monotone-invariant, reads −1 on reversal, NULL on a " +
+      "constant side, and survives the outlier that destroys Pearson") {
+    // y = x³ is nonlinear but strictly monotone: rank vectors are
+    // identical, so rho = 1 exactly where Pearson reads < 1
+    val df = (1 to 300).map(i => ("a", i.toDouble,
+      i.toDouble * i * i, -i.toDouble, 7.0)).toDF("g", "x", "y", "z", "w")
+    val got = operators.Assoc.spearman(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(got(("x", "y")) == 1.0 && got(("x", "z")) == -1.0 &&
+      got(("y", "z")) == -1.0, s"monotone relations: $got")
+    assert(got(("x", "w")) == null, "constant column must read NULL")
+    // tie-averaged ranks: identical tie patterns on both sides → 1
+    val ties = Seq(("a", 1.0, 5.0), ("a", 1.0, 5.0), ("a", 2.0, 9.0))
+      .toDF("g", "x", "y")
+    assert(operators.Assoc.spearman(ties, Seq("x", "y"))
+      .collect()(0).getDouble(4) == 1.0, "tied ranks must still read 1")
+    // one 1e9 outlier in a clean monotone relation: Pearson collapses
+    // toward the spike, Spearman moves one rank and stays ≈ 1
+    val dirty = (1 to 200).map(i => ("a", i.toDouble,
+      if (i == 100) 1e9 else 2.0 * i)).toDF("g", "x", "y")
+    val rho = operators.Assoc.spearman(dirty, Seq("x", "y"))
+      .collect()(0).getDouble(4)
+    val pearson = operators.Assoc.corrMatrix(dirty, Seq("x", "y"))
+      .collect()(0).getDouble(4)
+    assert(rho > 0.99 && pearson < 0.5,
+      s"robustness split: spearman=$rho pearson=$pearson")
+  }
+
+  test("q167: ACF reads the planted series shapes — alternation exactly " +
+      "−(n−1)/n at lag 1, constant NULL, gaps drop pairs") {
+    import org.apache.spark.sql.functions.{col, date_add, lit}
+    def series(xs: Seq[Double], step: Int = 1) =
+      xs.zipWithIndex.map { case (x, i) => ("a", i * step, x) }
+        .toDF("g", "i", "x")
+        .withColumn("d", date_add(lit("2024-01-01").cast("date"), col("i")))
+        .select(col("g"), col("d"), col("x"))
+    // alternating 10,0,…(n=30): acf(k) = ±(n−k)/n exactly (x̄ = 5,
+    // every deviation ±5, integer counts → deterministic doubles)
+    val alt = operators.Assoc.autocorr(series(
+      (0 until 30).map(i => 10.0 * (i % 2))), 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(4)).toMap
+    assert(math.abs(alt(1) - (-29.0 / 30)) < 1e-9 &&
+      math.abs(alt(2) - 28.0 / 30) < 1e-9, s"alternation: $alt")
+    // constant series: zero variance → NULL at every lag
+    val const = operators.Assoc.autocorr(series(Seq.fill(30)(7.0)), 3)
+      .collect()
+    assert(const.length == 3 && const.forall(_.isNullAt(4)),
+      "constant series must read NULL")
+    // every-other-day series: lag 1 has NO observed pair (absent row),
+    // lag 2 pairs every consecutive observation
+    val gapped = operators.Assoc.autocorr(series(
+      (0 until 20).map(i => (i % 3).toDouble), step = 2), 2).collect()
+    assert(gapped.map(_.getInt(1)).toSeq == Seq(2) &&
+      gapped(0).getLong(3) == 19, s"gapped: ${gapped.toSeq}")
+  }
+
   test("q152: profile caps equal the standalone sketch caps bit-for-bit") {
     // same histogram, same interpolation tree ⇒ EXACT equality, not
     // tolerance — the profile is a shared-scan refactor of q124's caps
