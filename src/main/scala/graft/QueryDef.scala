@@ -96,5 +96,6 @@ object Registry {
       streaming.StreamUpsert.defs ++
       streaming.ThresholdAlert.defs ++
       streaming.StreamDrift.defs ++
+      streaming.StreamAssoc.defs ++
       operators.Udfs.defs
 }

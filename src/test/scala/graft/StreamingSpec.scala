@@ -16,6 +16,7 @@ case class UEv(ts: Timestamp, user_id: Long)
 case class IdEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class CdcEv(user_id: Long, ts: Timestamp, event_id: Long,
     event_type: String, value: Double)
+case class XyEv(ts: Timestamp, g: String, x: Double, y: Double)
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -99,6 +100,44 @@ class StreamingSpec extends AnyFunSuite {
         r.getDouble(3))).toSet
     assert(streamed == batch,
       s"streamed drift ${streamed.size} rows != batch twin ${batch.size}")
+  }
+
+  test("stream correlation watchdog emits exactly the batch twin's daily rows") {
+    import spark.implicits._
+    // the full fixture through the streaming leg in two arbitrary
+    // micro-batches: scalar moment sums must be batching-independent
+    val all = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("event_type").as("g"), col("value").as("x"),
+        get_json_object(col("props"), "$.k").cast("double").as("y"))
+      .as[XyEv].collect().toSeq
+
+    val stream = MemoryStream[XyEv](spark, 12)
+    val out = streaming.StreamAssoc.watch(stream.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("corr_out").start()
+    try {
+      val (b1, b2) = all.splitAt(all.size / 3)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      stream.addData(XyEv(
+        new Timestamp(all.map(_.ts.getTime).max + 3 * 86400000L), "zz", 0.0, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("corr_out")
+      .where(col("g") =!= "zz")
+      .collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q168_stream_corr")(spark, sf)
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"streamed corr ${streamed.size} rows != batch twin ${batch.size}")
   }
 
   test("watermark drops late data in append mode") {
