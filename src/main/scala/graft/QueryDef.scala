@@ -86,6 +86,8 @@ object Registry {
       operators.Mad.defs ++
       operators.Gini.defs ++
       operators.Drift.defs ++
+      operators.Changepoint.defs ++
+      operators.Survival.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
