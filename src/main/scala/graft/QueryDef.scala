@@ -88,6 +88,7 @@ object Registry {
       operators.Drift.defs ++
       operators.Changepoint.defs ++
       operators.Survival.defs ++
+      operators.Trend.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
