@@ -89,6 +89,7 @@ object Registry {
       operators.Changepoint.defs ++
       operators.Survival.defs ++
       operators.Trend.defs ++
+      operators.RollingTrend.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
