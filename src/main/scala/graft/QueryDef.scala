@@ -90,6 +90,7 @@ object Registry {
       operators.Survival.defs ++
       operators.Trend.defs ++
       operators.RollingTrend.defs ++
+      operators.Seasonality.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
