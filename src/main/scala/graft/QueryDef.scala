@@ -91,6 +91,8 @@ object Registry {
       operators.Trend.defs ++
       operators.RollingTrend.defs ++
       operators.Seasonality.defs ++
+      operators.Privacy.defs ++
+      operators.Integrity.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++

@@ -95,7 +95,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q159_vocab_richness", "q160_containment", "q161_weighted_median",
     "q162_vocab_diversity", "q163_containment_keep", "q164_corr_matrix",
     "q165_cramers_v", "q166_spearman", "q167_autocorr", "q168_stream_corr", "q169_changepoint", "q170_hazard", "q171_trend",
-    "q172_rolling_trend", "q173_seasonality")
+    "q172_rolling_trend", "q173_seasonality", "q174_l_diversity",
+    "q175_ref_integrity", "q176_fd_audit")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
