@@ -93,6 +93,7 @@ object Registry {
       operators.Seasonality.defs ++
       operators.Privacy.defs ++
       operators.Integrity.defs ++
+      operators.Benford.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
