@@ -94,6 +94,7 @@ object Registry {
       operators.Privacy.defs ++
       operators.Integrity.defs ++
       operators.Benford.defs ++
+      streaming.StreamSlope.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++

@@ -96,7 +96,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q162_vocab_diversity", "q163_containment_keep", "q164_corr_matrix",
     "q165_cramers_v", "q166_spearman", "q167_autocorr", "q168_stream_corr", "q169_changepoint", "q170_hazard", "q171_trend",
     "q172_rolling_trend", "q173_seasonality", "q174_l_diversity",
-    "q175_ref_integrity", "q176_fd_audit", "q177_benford")
+    "q175_ref_integrity", "q176_fd_audit", "q177_benford",
+    "q178_stream_slope")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")

@@ -140,6 +140,45 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed corr ${streamed.size} rows != batch twin ${batch.size}")
   }
 
+  test("stream slope watchdog emits exactly the batch twin's daily rows") {
+    import spark.implicits._
+    // the full fixture through the streaming leg in two arbitrary
+    // micro-batches: the five scalar moment sums are decimal-exact and
+    // order-free, so the split cannot move any slope
+    val all = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("event_type").as("g"), col("value").as("v"))
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark, 14)
+    val out = streaming.StreamSlope.watch(
+      stream.toDF().toDF("ts", "g", "v"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("slope_out").start()
+    try {
+      val (b1, b2) = all.splitAt(all.size / 4)
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      stream.addData((new Timestamp(
+        all.map(_._1.getTime).max + 3 * 86400000L), "zz", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("slope_out")
+      .where(col("g") =!= "zz")
+      .collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q178_stream_slope")(spark, sf)
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"streamed slope ${streamed.size} rows != batch twin ${batch.size}")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark, 2)
