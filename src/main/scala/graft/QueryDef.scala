@@ -95,6 +95,7 @@ object Registry {
       operators.Integrity.defs ++
       operators.Benford.defs ++
       streaming.StreamSlope.defs ++
+      operators.LeadLag.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++
