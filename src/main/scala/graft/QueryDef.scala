@@ -96,6 +96,7 @@ object Registry {
       operators.Benford.defs ++
       streaming.StreamSlope.defs ++
       operators.LeadLag.defs ++
+      operators.SeasonalAnomaly.defs ++
       operators.Richness.defs ++
       operators.ZOrder.defs ++
       streaming.EventWindows.defs ++

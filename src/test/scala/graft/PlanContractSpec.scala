@@ -97,7 +97,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q165_cramers_v", "q166_spearman", "q167_autocorr", "q168_stream_corr", "q169_changepoint", "q170_hazard", "q171_trend",
     "q172_rolling_trend", "q173_seasonality", "q174_l_diversity",
     "q175_ref_integrity", "q176_fd_audit", "q177_benford",
-    "q178_stream_slope", "q179_lead_lag")
+    "q178_stream_slope", "q179_lead_lag", "q180_seasonal_anomaly")
 
   private val ContractPath =
     java.nio.file.Paths.get("src/test/resources/plan-contracts.tsv")
