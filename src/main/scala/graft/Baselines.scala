@@ -43,6 +43,15 @@ object Baselines {
           colIdx = cells.indexWhere(c => c.contains("(baseline)") ||
             c == "sec/query" || c == "sf0.1 s" || c == "after")
           sfIdx = cells.indexWhere(_ == "sf")
+        } else if (cells.length > 1 && !cells(1).startsWith("q") &&
+            !cells(1).matches("[-: ]*")) {
+          // any OTHER header-like row (first cell is neither a q-name,
+          // nor the recognized 'Query' header, nor a |---| separator)
+          // ends the current column mapping: a future table headed
+          // e.g. 'Family' must not have its q-rows parsed under the
+          // previous table's columns (r12 ADVICE)
+          colIdx = -1
+          sfIdx = -1
         } else if (cells.length > 4 && cells(1).startsWith("q") &&
             Set("0.001", "0.01", "0.1", "1").contains(cells(2)) &&
             cells(4).contains("local[")) {

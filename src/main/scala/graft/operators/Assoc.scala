@@ -46,9 +46,15 @@ object Assoc {
     * numeric columns of `base` (group column `g`): one row per
     * unordered column pair, (g, col_x, col_y, n, corr) with corr
     * 9-dp rounded; pairs with a degenerate side (zero variance) emit
-    * NULL. Single scan, single aggregation, any column count. */
+    * NULL. Single scan, single aggregation, any column count.
+    *
+    * Complete-case: rows with a NULL in ANY of `cols` are dropped up
+    * front — n counts rows while the moment sums skip NULLs, so an
+    * incomplete row would inflate n and bias every pair it touches
+    * (r12 ADVICE). SQL mirrors carry the same filter. */
   def corrMatrix(base: DataFrame, cols: Seq[String]): DataFrame = {
-    val moments = base.groupBy(col("g")).agg(
+    val complete = base.na.drop("any", cols)
+    val moments = complete.groupBy(col("g")).agg(
       count(lit(1)).cast("double").as("n"),
       (cols.map(c => dsum(col(c)).as(s"s_$c")) ++
         cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
@@ -250,7 +256,9 @@ object Assoc {
     s"""WITH m AS (
        |  SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS n,
        |$sums
-       |  FROM lineitem GROUP BY 1),
+       |  FROM lineitem
+       |  WHERE ${q164Cols.map(c => s"$c IS NOT NULL").mkString(" AND ")}
+       |  GROUP BY 1),
        |p AS (
        |$pairSelects)
        |SELECT g, col_x, col_y, CAST(n AS BIGINT) AS n,

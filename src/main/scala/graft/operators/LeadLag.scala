@@ -80,7 +80,11 @@ object LeadLag {
         col("n").as("n_best"), col("corr").as("corr_best"))
     val lag0 = perLag.where(col("lag") === 0)
       .select(col("ga"), col("gb"), col("corr").as("corr_lag0"))
-    best.join(lag0, Seq("ga", "gb"))
+    // LEFT join: a pair whose day ranges overlap only at nonzero lags
+    // has a best_lag but no lag-0 row — it must still be emitted, with
+    // NULL corr_lag0, or genuine precursor pairs silently vanish
+    // (r12 ADVICE); the SQL mirror uses the same LEFT JOIN
+    best.join(lag0, Seq("ga", "gb"), "left")
       .orderBy(col("ga").asc_nulls_last, col("gb").asc_nulls_last)
   }
 
@@ -124,7 +128,7 @@ object LeadLag {
       |    FROM corr WHERE corr IS NOT NULL) WHERE rk = 1)
       |SELECT best.ga, best.gb, best.best_lag, best.n_best,
       |  best.corr_best, c0.corr AS corr_lag0
-      |FROM best JOIN corr c0
+      |FROM best LEFT JOIN corr c0
       |  ON best.ga = c0.ga AND best.gb = c0.gb AND c0.lag = 0
       |ORDER BY best.ga ASC NULLS LAST, best.gb ASC NULLS LAST""".stripMargin
 

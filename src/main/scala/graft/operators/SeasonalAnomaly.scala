@@ -72,8 +72,8 @@ object SeasonalAnomaly {
       |  FROM events GROUP BY 1, 2),
       |s AS (
       |  SELECT g, day,
-      |    CAST(date_diff('day', DATE '1995-01-01', day) % 7 AS BIGINT)
-      |      AS dow, x
+      |    CAST(((date_diff('day', DATE '1995-01-01', day) % 7) + 7) % 7
+      |      AS BIGINT) AS dow, x
       |  FROM daily),
       |bydow AS (
       |  SELECT g, dow, CAST(COUNT(*) AS BIGINT) AS n_d,

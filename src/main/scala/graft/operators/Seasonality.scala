@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * 40% down, or was that a drop?").
   *
   * Engine-independent day-of-week: dow = (epoch-day index) mod 7 —
-  * pure integer arithmetic shared verbatim with the DuckDB oracle, so
-  * no locale/ISO dayofweek() convention can diverge (0 = the epoch
+  * pure integer arithmetic shared with the DuckDB oracle, so no
+  * locale/ISO dayofweek() convention can diverge (0 = the epoch
   * anchor's weekday, consistent across both engines by construction).
+  * Spark's pmod is always non-negative; DuckDB's % keeps the
+  * dividend's sign, so the SQL mirror uses ((dd % 7) + 7) % 7 to stay
+  * identical for days BEFORE the 1995-01-01 anchor (r12 ADVICE).
   *
   * Oracle parity: all inputs are BIGINT sums (n_d, s_d, Σx²); the
   * variance decomposition SS_b = Σ_d s_d²/n_d − S²/N and
@@ -88,8 +91,8 @@ object Seasonality {
       |  FROM events GROUP BY 1, 2),
       |bydow AS (
       |  SELECT g,
-      |    CAST(date_diff('day', DATE '1995-01-01', day) % 7 AS BIGINT)
-      |      AS dow,
+      |    CAST(((date_diff('day', DATE '1995-01-01', day) % 7) + 7) % 7
+      |      AS BIGINT) AS dow,
       |    CAST(COUNT(*) AS BIGINT) AS n_d,
       |    CAST(SUM(x) AS BIGINT) AS s_d,
       |    CAST(SUM(x * x) AS BIGINT) AS ss_d

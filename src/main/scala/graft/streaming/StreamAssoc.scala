@@ -37,7 +37,11 @@ object StreamAssoc {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(38,12)")).cast("double")
 
-  /** The six scalar moment aggregates shared by both legs. */
+  /** The six scalar moment aggregates shared by both legs. Callers
+    * MUST pre-filter to complete (x, y) pairs — n counts rows while
+    * the sums skip NULLs, so an unfiltered incomplete pair would
+    * inflate n and bias the correlation (r12 ADVICE). Both legs and
+    * the SQL mirror apply the same complete-pair filter. */
   private def momentAggs: Seq[Column] = Seq(
     count(lit(1)).as("n"),
     dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
@@ -67,7 +71,8 @@ object StreamAssoc {
     val tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
     require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
       s"StreamAssoc.watch requires spark.sql.session.timeZone=UTC (got $tz)")
-    events.withWatermark("ts", watermark)
+    events.where(col("x").isNotNull && col("y").isNotNull)
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("g"))
       .agg(momentAggs.head, momentAggs.tail: _*)
       .select(col("window.start").as("window_start"), col("g"), col("n"),
@@ -82,6 +87,7 @@ object StreamAssoc {
       .select(col("event_type").as("g"), to_date(col("ts")).as("day"),
         col("value").as("x"),
         get_json_object(col("props"), "$.k").cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
       .groupBy(col("g"), col("day"))
       .agg(momentAggs.head, momentAggs.tail: _*)
       .select(col("g"), col("day"), col("n"), corrCol.as("corr_xy"))
@@ -102,6 +108,7 @@ object StreamAssoc {
        |    CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
        |  FROM (SELECT event_type, ts, value AS x,
        |          CAST(props->>'k' AS DOUBLE) AS y FROM events) e
+       |  WHERE x IS NOT NULL AND y IS NOT NULL
        |  GROUP BY 1, 2) m
        |ORDER BY g ASC NULLS LAST, day ASC NULLS LAST""".stripMargin
 
