@@ -132,42 +132,42 @@ object Assoc {
           .otherwise(lit(null)).as("v"))
   }
 
-  /** Average-rank frame of one numeric column per group: (g, c, r_c)
-    * with r_c = cnt_less + (cnt_eq + 1)/2 — the tie-averaged rank
-    * Spearman needs, computed WITHOUT a per-group global sort. The
-    * cumulative count over distinct values is two-phase (the q56
-    * discipline): values are binned into `bins` range blocks (floor is
-    * monotone, so blocking preserves the value order), the within-block
-    * cumulative window is bounded by a block's distinct values, and the
-    * only per-group serial window runs over the ≤`bins`-row block-total
-    * frame. Ranks are half-integers — exact in doubles at any corpus
-    * size that fits a long. */
-  private def rankFrame(base: DataFrame, c: String, bins: Int): DataFrame = {
+  /** Tie-averaged rank frame for EVERY melted column at once: input
+    * (g, name, v, cnt) distinct-value counts, output (g, name, v, r)
+    * with r = cnt_less + (cnt_eq + 1)/2 — the rank Spearman needs,
+    * computed WITHOUT a per-column global sort. The cumulative count
+    * over distinct values is two-phase (the q56 discipline): values
+    * are binned into `bins` range blocks (floor is monotone, so
+    * blocking preserves the value order), the within-block cumulative
+    * window is bounded by a block's distinct values, and the only
+    * serial window runs over the ≤`bins`-row block-total frame — now
+    * partitioned by (g, name), so the k columns' serial stages run in
+    * parallel instead of as k separate jobs. Ranks are half-integers —
+    * exact in doubles at any corpus size that fits a long. */
+  private def rankFrameAll(vals: DataFrame, bins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // distinct-value counts: the only fact-scale pass for this column
-    val vals = base.groupBy(col("g"), col(c))
-      .agg(count(lit(1)).as("cnt")).localCheckpoint()
-    val rng = vals.groupBy(col("g"))
-      .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
-    val blocked = vals.join(broadcast(rng), "g")
+    val rng = vals.groupBy(col("g"), col("name"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val blocked = vals.join(broadcast(rng), Seq("g", "name"))
       .withColumn("blk",
         when(col("mx") > col("mn"),
-          least(floor((col(c) - col("mn")) /
+          least(floor((col("v") - col("mn")) /
             ((col("mx") - col("mn")) / bins)), lit(bins - 1)))
           .otherwise(lit(0)).cast("int"))
-    val wIn = Window.partitionBy(col("g"), col("blk")).orderBy(col(c))
+    val wIn = Window.partitionBy(col("g"), col("name"), col("blk"))
+      .orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = blocked.withColumn("cum", sum(col("cnt")).over(wIn))
-    val wOff = Window.partitionBy(col("g")).orderBy(col("blk"))
+    val wOff = Window.partitionBy(col("g"), col("name")).orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val off = blocked.groupBy(col("g"), col("blk"))
+    val off = blocked.groupBy(col("g"), col("name"), col("blk"))
       .agg(sum(col("cnt")).as("bn"))
       .withColumn("boff", sum(col("bn")).over(wOff) - col("bn"))
-      .select(col("g"), col("blk"), col("boff"))
-    within.join(broadcast(off), Seq("g", "blk"))
-      .select(col("g"), col(c),
+      .select(col("g"), col("name"), col("blk"), col("boff"))
+    within.join(broadcast(off), Seq("g", "name", "blk"))
+      .select(col("g"), col("name"), col("v"),
         (col("boff") + col("cum") - col("cnt") +
-          (col("cnt") + 1) / lit(2.0)).as(s"r_$c"))
+          (col("cnt") + 1) / lit(2.0)).as("r"))
   }
 
   /** PUBLIC API — per-group Spearman rank-correlation matrix: Pearson
@@ -175,13 +175,45 @@ object Assoc {
     * invariant and outlier-robust where q164's Pearson is neither; the
     * matrix shape, NULL contract, and decimal-moment oracle parity are
     * corrMatrix's own (ranks are exact half-integers, so every moment
-    * input replays). One rank build per column (its single fact pass)
-    * plus one row pass joining ranks back by (g, value). */
+    * input replays).
+    *
+    * MELTED single-pass shape (r13, was k rank builds + k fact joins):
+    * one fact pass melts all k columns to (g, name, v) and builds every
+    * column's distinct-value counts together; [[rankFrameAll]] ranks
+    * them with per-(g, name) blocked prefix sums; a second fact pass
+    * melts each row WITH a row id, picks up its k ranks in ONE
+    * equi-join on (g, name, v), and reassembles the wide rank row by
+    * id in one shuffle. Two fact passes + two fact-sized shuffles
+    * total, independent of k — the old shape paid k fact scans and k
+    * wide-fact join shuffles.
+    *
+    * Values are compared as doubles on both sides of the rank join, so
+    * inputs must be exactly double-representable (integers, decimals
+    * within 2^53 — every fixture measure). NULL handling is
+    * complete-case, matching [[corrMatrix]]: a NULL entry finds no
+    * rank, pivots back as a NULL rank, and corrMatrix drops the row. */
   def spearman(base: DataFrame, cols: Seq[String],
       bins: Int = 256): DataFrame = {
-    val ranked = cols.foldLeft(base)((df, c) =>
-      df.join(rankFrame(base, c, bins), Seq("g", c)))
-      .select(col("g") +: cols.map(c => col(s"r_$c").as(c)): _*)
+    def entries = explode(array(cols.map(c =>
+      struct(lit(c).as("name"), col(c).cast("double").as("v"))): _*))
+    val melted = base.select(col("g"), entries.as("e"))
+      .select(col("g"), col("e.name").as("name"), col("e.v").as("v"))
+    // fact pass 1: every column's distinct-value counts in one scan
+    val vals = melted.groupBy(col("g"), col("name"), col("v"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val ranks = rankFrameAll(vals, bins)
+    // fact pass 2: probe rows pick up their ranks (one equi-join) and
+    // reassemble by row id (one shuffle); the id never leaves the plan
+    val probe = base.withColumn("rid", monotonically_increasing_id())
+      .select(col("rid"), col("g"), entries.as("e"))
+      .select(col("rid"), col("g"), col("e.name").as("name"),
+        col("e.v").as("v"))
+      .join(ranks, Seq("g", "name", "v"))
+    val pivots = cols.map(c =>
+      max(when(col("name") === c, col("r"))).as(c))
+    val ranked = probe.groupBy(col("rid"), col("g"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("g") +: cols.map(col): _*)
     corrMatrix(ranked, cols).withColumnRenamed("corr", "rho")
   }
 
