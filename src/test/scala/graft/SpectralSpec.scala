@@ -48,4 +48,32 @@ class SpectralSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
     assert(rows.map(_.getAs[Int]("label")).distinct.length == rows.length)
   }
+
+  test("fit-once/project-many: a persisted model round-trips the fit " +
+      "bit-for-bit and the project half reuses it") {
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val samp = e.orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+      col("vec_id").asc_nulls_last).limit(300)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pca_spec").toString
+    operators.Spectral.fitComponent(spark, samp, dir)
+    val direct = operators.Spectral.topComponent(spark, samp).collect()
+      .map(r => (r.getAs[Int]("pos"),
+        r.getAs[Double]("loading"), r.getAs[Double]("eig"))).sorted
+    val loaded = operators.Spectral.loadComponent(spark, dir).collect()
+      .map(r => (r.getAs[Int]("pos"),
+        r.getAs[Double]("loading"), r.getAs[Double]("eig"))).sorted
+    assert(loaded.sameElements(direct),
+      "parquet model must round-trip the fit exactly")
+    // the probe half reads ONLY the model: its plan never touches the
+    // sample covariance / power-iteration lineage
+    val proj = operators.Spectral.projectComponent(
+      spark, Tables.t(spark, sf, "embeddings"), dir)
+    val plan = proj.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("posexplode"),
+      "project half must not re-derive the fit (no covariance melt in plan)")
+    assert(proj.collect().map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.t(spark, sf, "embeddings").count())
+  }
 }
