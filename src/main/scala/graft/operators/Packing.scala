@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   * gives 10^6-doc blocks and a 10^4-row offset frame. The fixture
   * default (4096) keeps the per-block window under a task's memory at
   * any corpus size the tests reach.
+  *
+  * Plan contract: gwin=1 — the ONE unpartitioned window is the block-
+  * offset cumsum over the corpus/blockSize-row per-block-total frame,
+  * bounded by construction; the per-doc windows are block-partitioned.
   */
 object Packing {
 

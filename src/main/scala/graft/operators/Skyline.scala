@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * At scale the per-price aggregate is a map-side-combined keyed agg;
   * the distinct-price frame is small enough to window cheaply (and the
   * standard d>2 generalization — grid partition, local skylines, merge
-  * — keeps the same two-phase shape). */
+  * — keeps the same two-phase shape).
+  *
+  * Plan contract: gwin=1 — the one unpartitioned window is the
+  * running-max sweep over the DISTINCT-minCol frame (domain-bounded:
+  * |prices|, never |parts| rows), per the two-phase shape above. */
 object Skyline {
 
   /** PUBLIC API — pareto front minimizing `minCol`, maximizing

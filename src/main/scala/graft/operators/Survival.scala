@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   * the only serial stage, same contract as q166's ≤256-row block
   * totals. Censoring time = corpus max(ts), one broadcast scalar.
   *
+  * Plan contract: gwin=3 — all three unpartitioned windows (risk-set
+  * cumsum, total-count, cumulative hazard) run over that same
+  * distinct-duration frame, bounded by the corpus day span.
+  *
   * Reference anchor: celeborn ages out shuffle partitions by fixed
   * TTL (worker/.../storage/StorageManager cleaner); duration-to-event
   * analysis with censoring is the principled generalization an
