@@ -64,21 +64,30 @@ object Bench {
     }
 
     // dev knob: SPARK_GRAFT_BENCH_ONLY=q51_stream_stream_join,... times a
-    // subset; the driver leaves it unset and gets the full registry
+    // subset; SPARK_GRAFT_BENCH_EXCLUDE=... drops names (e.g. the
+    // streaming entries from a scale-decade run, whose headline is
+    // steady-state trigger time, not corpus scale); the driver leaves
+    // both unset and gets the full registry
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val excl = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_.contains(n)) && !excl.contains(n))
     // A failed query reports -1.0 and is EXCLUDED from the headline total
     // (and listed under "failed") rather than silently corrupting it; a
     // failed warm-up skips the timed runs entirely.
     val results = names.map { name =>
       val warm = once(name) // warm-up (also JIT + file-footer caches)
-      if (warm < 0) name -> -1.0
+      val r = if (warm < 0) name -> -1.0
       else {
         val times = (1 to runs).map(_ => once(name)).sorted
         name -> times(times.size / 2)
       }
+      // per-query progress on stderr: a long detached run (the sf10
+      // decade board) stays observable and partially recoverable
+      System.err.println(f"[bench] done ${r._1} ${r._2}%.3f")
+      r
     }
 
     // q95's split timing (see IncrementalDedup.baseDeltaSplit): the

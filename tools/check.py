@@ -15,6 +15,7 @@ Dev tooling only — not part of the library.
 import glob
 import json
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -47,6 +48,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # per-query DuckDB wall time: a free cross-engine perf anchor —
+    # flags queries where Spark at local[32] is grossly slower than
+    # single-threaded DuckDB on identical data (VERDICT r12 #7)
+    oracle_sec = {}
     for name in sorted(oracle):
         sql = oracle[name]
         got = load_result(out_dir, name)
@@ -55,7 +60,9 @@ def main():
             n_fail += 1
             continue
         try:
+            t0 = time.perf_counter()
             exp = con.sql(sql).df()
+            oracle_sec[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -102,10 +109,12 @@ def main():
                 ok = False
                 break
         if ok:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows, oracle {oracle_sec[name]}s)")
             n_pass += 1
         else:
             n_fail += 1
+    with open(f"{out_dir}/oracle_times.json", "w") as f:
+        json.dump(oracle_sec, f, indent=0, sort_keys=True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
