@@ -288,6 +288,39 @@ class DedupBoundsSpec extends AnyFunSuite {
       s"prefix filter generated $candsPref candidates vs inverted $candsInv")
   }
 
+  test("containment strategy election: Zipfian shared-tail corpora elect the " +
+      "prefix path, uniform corpora keep the inverted index, results agree") {
+    import spark.implicits._
+    // Zipfian regime: every doc shares a 6-word tail, so the candidate
+    // bound Σ C(df,2) outgrows the posting mass Σ df — the measured
+    // break-even (PrefixBreakEvenRatio ≈ 12 candidate pairs/posting,
+    // ledger r12a/r13d) is crossed and the election must flip
+    val n = 120L
+    val zipf = ((0L until n).map(i =>
+      (i, s"h${i}a h${i}b h${i}c h${i}d tail one two three four five")) ++
+      Seq((900L, "planted twin r1 r2 r3 r4 tail one two three four five"),
+        (901L, "planted twin r1 r2 r3 r4 tail one two three four five")))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup.electPrefix(zipf, 10000),
+      "shared-tail corpus must elect the prefix path")
+    // uniform regime: disjoint vocabularies, df = 1 everywhere, zero
+    // candidate bound — the inverted index stays elected (the sf0.1
+    // fixture sits at bound/postings = 4.9, also below the break-even)
+    val uniform = (0L until 100L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+      .toDF("doc_id", "text")
+    assert(!graft.operators.Dedup.electPrefix(uniform, 10000),
+      "disjoint-vocabulary corpus must keep the inverted index")
+    // the elected default (auto) agrees with both forced branches
+    val auto = graft.operators.Dedup.containmentPairs(zipf, threshold = 0.9)
+      .collect().map(_.toString).sorted.toSeq
+    val forced = graft.operators.Dedup
+      .containmentPairsImpl(zipf, 0.9, 10000, forcePrefix = Some(false))
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == forced, "auto election changed the result set")
+    assert(auto.exists(_.contains("900,901")), "planted twin must survive")
+  }
+
   test("containment df-cap drops the hot shingle and the oracle mirror keeps parity") {
     import spark.implicits._
     // 90% of docs share a hot 5-word prefix (3 hot shingles, df ~ 0.9n,
