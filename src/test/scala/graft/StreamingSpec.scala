@@ -179,6 +179,131 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed slope ${streamed.size} rows != batch twin ${batch.size}")
   }
 
+  /** Restart fault-injection harness for the watchdog trio (VERDICT
+    * r12 #5): deliver the fixture through a FILE source in three
+    * phases whose cuts land INSIDE a day's window (so stateful
+    * in-window aggregates must survive in the checkpointed state
+    * store), restart the query from its checkpoint between phases,
+    * inject one IDLE restart that must append nothing (the offset-log
+    * replay protocol: an in-flight batch is re-run after a crash, but
+    * the file sink's transaction log keeps the emit exactly-once), and
+    * return the final sink. q36/q89 prove restart for dedup/upsert
+    * state; this is the same proof for the windowed-aggregate state
+    * the watchdogs carry. */
+  private def restartHarness(input: org.apache.spark.sql.DataFrame,
+      sentinel: org.apache.spark.sql.DataFrame,
+      watch: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      cuts: (String, String) = ("2024-01-12 11:00:00", "2024-01-22 13:00:00"))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft_rst_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rst_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rst_out").toString
+    def runOnce(): Unit = {
+      val q = watch(spark.readStream.schema(input.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase cuts at 11:00/13:00 — mid-window by construction
+    val cut1 = lit(cuts._1).cast("timestamp")
+    val cut2 = lit(cuts._2).cast("timestamp")
+    input.where(col("ts") < cut1)
+      .repartition(2).write.mode("append").parquet(src)
+    runOnce()
+    val afterP1 = spark.read.parquet(out).count()
+    assert(afterP1 > 0, "phase 1 must close at least one window")
+    runOnce() // kill/restart with no new input: nothing may re-emit
+    assert(spark.read.parquet(out).count() == afterP1,
+      "idle restart re-emitted closed windows")
+    input.where(col("ts") >= cut1 && col("ts") < cut2)
+      .repartition(2).write.mode("append").parquet(src)
+    runOnce()
+    input.where(col("ts") >= cut2).unionByName(sentinel)
+      .repartition(2).write.mode("append").parquet(src)
+    runOnce()
+    spark.read.parquet(out)
+  }
+
+  test("q158 drift watchdog: mid-window restarts from checkpoint leave " +
+      "closed-window TVDs exactly the batch twin's") {
+    val baseline = streaming.StreamDrift.fitBaseline(
+      Tables.t(spark, sf, "events")
+        .where(to_date(col("ts")) < lit("2024-01-16").cast("date"))
+        .select(col("event_type").as("g"), col("value").as("x")))
+    val live = Tables.t(spark, sf, "events")
+      .where(to_date(col("ts")) >= lit("2024-01-16").cast("date"))
+      .select(col("ts"), col("event_type").as("g"), col("value").as("x"))
+    val maxTs = live.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        new Timestamp(maxTs.getTime + 3 * 86400000L), "zz", 0.0)),
+      live.schema)
+    val sink = restartHarness(live, sentinel,
+      in => streaming.StreamDrift.watch(
+        in.select(col("g"), col("ts"), col("x")), baseline),
+      // the watched half starts 01-16; cuts must land inside it
+      cuts = ("2024-01-20 11:00:00", "2024-01-26 13:00:00"))
+    val streamed = sink.where(col("g") =!= "zz").collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q158_stream_drift")(spark, sf)
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getString(0), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"restarted drift sink ${streamed.size} rows != batch ${batch.size}")
+  }
+
+  test("q168 correlation watchdog: mid-window restarts from checkpoint " +
+      "leave closed-window correlations exactly the batch twin's") {
+    val live = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("event_type").as("g"), col("value").as("x"),
+        get_json_object(col("props"), "$.k").cast("double").as("y"))
+    val maxTs = live.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        new Timestamp(maxTs.getTime + 3 * 86400000L), "zz", 0.0, 0.0)),
+      live.schema)
+    val sink = restartHarness(live, sentinel,
+      in => streaming.StreamAssoc.watch(in))
+    val streamed = sink.where(col("g") =!= "zz").collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q168_stream_corr")(spark, sf)
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"restarted corr sink ${streamed.size} rows != batch ${batch.size}")
+  }
+
+  test("q178 slope watchdog: mid-window restarts from checkpoint leave " +
+      "closed-window slopes exactly the batch twin's") {
+    val live = Tables.t(spark, sf, "events")
+      .select(col("ts"), col("event_type").as("g"), col("value").as("v"))
+    val maxTs = live.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        new Timestamp(maxTs.getTime + 3 * 86400000L), "zz", 0.0)),
+      live.schema)
+    val sink = restartHarness(live, sentinel,
+      in => streaming.StreamSlope.watch(in))
+    val streamed = sink.where(col("g") =!= "zz").collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q178_stream_slope")(spark, sf)
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getString(0), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"restarted slope sink ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark, 2)
