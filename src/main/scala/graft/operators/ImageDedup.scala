@@ -132,18 +132,32 @@ object ImageDedup {
             substring(col("bits"), b * 8 + 1, 8).as("bk"))): _*)).as("bb"))
       .select(col("media_id"), col("bits"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
-    val cands = bands.as("x").join(bands.as("y"),
+    // Saturated-band regime (found by the r13 sf10 decade run): past
+    // ~10^5 images the 256 keys per band saturate and the band join
+    // fans out to Σ bucket² candidate pairs (~44 M at 53 k images).
+    // Two rules keep that regime cheap: (1) verify with
+    // bit_count(xor) over the hash packed into ONE long — a codegen
+    // integer op, not the 64-char string lambda this path shipped with
+    // — and (2) verify BEFORE deduplicating, so the ≤7-hamming
+    // survivors (tiny by construction) are all that ever shuffles; the
+    // candidate stream itself pipes map-side from the join. Losslessness
+    // is untouched (every candidate is still verified exactly). The
+    // remaining quadratic Σ bucket² term is inherent to a 64-bit hash
+    // with h = 7 (pigeonhole needs 8 bands ⇒ 8-bit keys); the 10^8-image
+    // scale path is a wider perceptual hash (256-bit ⇒ 32-bit band
+    // keys), not a band cap — a cap would break the no-miss guarantee.
+    // pack as two 32-bit halves + shift: conv() of all 64 bits returns
+    // a string whose high-bit values overflow the signed-long cast
+    val packed = bands.withColumn("h",
+      expr("shiftleft(cast(conv(substring(bits, 1, 32), 2, 10) as bigint), 32)" +
+        " | cast(conv(substring(bits, 33, 32), 2, 10) as bigint)"))
+    packed.as("x").join(packed.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
-        col("x.bits").as("ab"), col("y.bits").as("bb"))
-      .distinct()
-    cands
-      .withColumn("hamming",
-        expr("size(filter(sequence(1, 64), " +
-          "i -> substring(ab, i, 1) != substring(bb, i, 1)))").cast("long"))
+        expr("bit_count(x.h ^ y.h)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+      .distinct()
       .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last,
         col("hamming").asc_nulls_last)
   }
