@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,12) sum path (JavaBigDecimal per row inside hash agg)
   * is an order of magnitude off DuckDB's int128 AT EQUAL CORES. The
   * candidate fix for the hot moment-sum family: scale each term to an
-  * integer (here cents² for decimal(12,2) inputs), split into
-  * (div 1e9, mod 1e9) halves, sum BOTH as plain longs (codegen
-  * integer adds; bounds: lo < 1e9·rows, hi < term/1e9·rows — both
-  * under 2^63 to sf10), and recombine hi·1e9 + lo in DECIMAL once per
-  * GROUP. Exactness is bit-identical to the decimal accumulate — same
+  * integer (here 1e-4 units for decimal(12,2)·decimal(12,2) products),
+  * split at radix 2^30 (shiftright/bitwiseAND) into hi/lo halves, sum
+  * BOTH as plain longs (codegen integer adds; bounds: Σlo < 2^30·rows
+  * ≈ 6.4e16 at sf10's 6e7 rows, Σhi < (maxterm·1e4/2^30)·rows ≈
+  * 6e7·rows ≪ 2^63 — both safe), and recombine Σhi·2^30 + Σlo in
+  * DECIMAL once per GROUP. Exactness is bit-identical to the decimal accumulate — same
   * integers, one final exact combine — and the DuckDB mirror is the
   * same two integer sums, so oracle parity survives.
   *

@@ -198,8 +198,14 @@ object Assoc {
       struct(lit(c).as("name"), col(c).cast("double").as("v"))): _*))
     val melted = base.select(col("g"), entries.as("e"))
       .select(col("g"), col("e.name").as("name"), col("e.v").as("v"))
-    // fact pass 1: every column's distinct-value counts in one scan
-    val vals = melted.groupBy(col("g"), col("name"), col("v"))
+    // fact pass 1: every column's distinct-value counts in one scan.
+    // NULL entries are dropped BEFORE ranking: a NULL distinct-value
+    // row would otherwise land in the top range block (least() skips
+    // NULLs, so blk = bins-1) and, with NULLS-FIRST ordering, inflate
+    // every real rank in that block — while contributing nothing
+    // downstream, since a NULL never survives the probe equi-join.
+    val vals = melted.where(col("v").isNotNull)
+      .groupBy(col("g"), col("name"), col("v"))
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
     val ranks = rankFrameAll(vals, bins)
     // fact pass 2: probe rows pick up their ranks (one equi-join) and

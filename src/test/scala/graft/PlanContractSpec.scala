@@ -207,6 +207,12 @@ class PlanContractSpec extends AnyFunSuite {
             val re = shapeOf(SparkEntry.queries(n)(spark, sf)).render
             if (re == prev) prev
             else { info(s"contract CHANGED for $n: $prev -> $re"); re }
+          case Some(prev) if prev != got =>
+            // old-format row baptized with the observed field values —
+            // surface them so the tsv diff review can eyeball nonzero
+            // gwin instead of it slipping in with the format upgrade
+            info(s"contract field-upgraded for $n: $prev -> $got")
+            got
           case _ => got
         }
         s"$n\t$fin"

@@ -364,6 +364,19 @@ class ProfilingOpsSpec extends AnyFunSuite {
       .collect()(0).getDouble(4)
     assert(rho > 0.99 && pearson < 0.5,
       s"robustness split: spearman=$rho pearson=$pearson")
+    // complete-case NULL contract: NULL entries must not contaminate
+    // real ranks — a NULL distinct-value row would land in the TOP
+    // range block (least() skips NULLs → blk = bins−1; NULLS-FIRST
+    // ordering puts its cnt under every real value there) and inflate
+    // the top-block ranks. y NULL exactly on the 43 largest x, so the
+    // surviving marginal ranks are both contiguous 1..257 → exactly 1;
+    // contaminated top-block y ranks would read < 1
+    val gapped = (1 to 300).map(i => ("a", i.toDouble,
+      if (i > 257) null else java.lang.Double.valueOf(2.0 * i)))
+      .toDF("g", "x", "y")
+    assert(operators.Assoc.spearman(gapped, Seq("x", "y"))
+      .collect()(0).getDouble(4) == 1.0,
+      "NULL rows must be dropped before ranking (complete-case)")
   }
 
   test("q167: ACF reads the planted series shapes — alternation exactly " +

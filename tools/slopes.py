@@ -24,6 +24,9 @@ def board(path):
 def main():
     b1, b10 = board(sys.argv[1]), board(sys.argv[2])
     anchor = sys.argv[3] if len(sys.argv) > 3 else "q07_tpch_q1"
+    if anchor not in b1 or anchor not in b10:
+        sys.exit(f"anchor {anchor} missing from a board "
+                 f"(excluded or failed run) — pass another anchor")
     a = b10[anchor] / b1[anchor]
     shared = sorted(set(b1) & set(b10))
     rows = []
