@@ -51,16 +51,46 @@ object Assoc {
     * Complete-case: rows with a NULL in ANY of `cols` are dropped up
     * front — n counts rows while the moment sums skip NULLs, so an
     * incomplete row would inflate n and bias every pair it touches
-    * (r12 ADVICE). SQL mirrors carry the same filter. */
-  def corrMatrix(base: DataFrame, cols: Seq[String]): DataFrame = {
+    * (r12 ADVICE). SQL mirrors carry the same filter.
+    *
+    * `pairedColScale = Some(cs)` switches the moment sums to the
+    * paired-longs exact path ([[graft.Canon.psumAggs]] — r13h measured
+    * the decimal(38,12) agg buffers 27x off DuckDB per core on exactly
+    * this kernel). Each COLUMN is scaled once to the integer long
+    * c·10^cs (k decimal ops per row, not one per term); every square
+    * and cross product is then pure long arithmetic at scale 2·cs, and
+    * the 2k + k(k−1)/2 sums aggregate as paired longs. Bit-identical
+    * to the decimal path (proof at the Canon helper) when every column
+    * value is an exact multiple of 10^-cs and the largest cross
+    * product satisfies |c·d|·10^2cs < 2^63; the caller owes those
+    * bounds. Default None keeps the decimal accumulate for arbitrary
+    * inputs. */
+  def corrMatrix(base: DataFrame, cols: Seq[String],
+      pairedColScale: Option[Int] = None): DataFrame = {
     val complete = base.na.drop("any", cols)
-    val moments = complete.groupBy(col("g")).agg(
-      count(lit(1)).cast("double").as("n"),
-      (cols.map(c => dsum(col(c)).as(s"s_$c")) ++
-        cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+    def sumTerms: Seq[(String, Column, Int)] =
+      cols.map(c => (s"s_$c", col(c), 1)) ++
+        cols.map(c => (s"ss_$c", col(c) * col(c), 2)) ++
         cols.combinations(2).map { case Seq(a, b) =>
-          dsum(col(a) * col(b)).as(s"sp_${a}_$b")
-        }.toSeq): _*)
+          (s"sp_${a}_$b", col(a) * col(b), 2)
+        }.toSeq
+    val moments = pairedColScale match {
+      case Some(cs) =>
+        complete
+          .select(col("g") +:
+            cols.map(c => graft.Canon.pterm(col(c), cs).as(c)): _*)
+          .groupBy(col("g")).agg(
+            count(lit(1)).cast("double").as("n"),
+            sumTerms.flatMap { case (nm, u, _) =>
+              graft.Canon.psumAggs(u, nm) }: _*)
+          .select(col("g") +: col("n") +:
+            sumTerms.map { case (nm, _, deg) =>
+              graft.Canon.psumDouble(nm, deg * cs).as(nm) }: _*)
+      case None =>
+        complete.groupBy(col("g")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sumTerms.map { case (nm, t, _) => dsum(t).as(nm) }: _*)
+    }
     val pairRows = cols.combinations(2).map { case Seq(a, b) =>
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
         col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
@@ -132,18 +162,25 @@ object Assoc {
           .otherwise(lit(null)).as("v"))
   }
 
-  /** Tie-averaged rank frame for EVERY melted column at once: input
-    * (g, name, v, cnt) distinct-value counts, output (g, name, v, r)
-    * with r = cnt_less + (cnt_eq + 1)/2 — the rank Spearman needs,
-    * computed WITHOUT a per-column global sort. The cumulative count
-    * over distinct values is two-phase (the q56 discipline): values
-    * are binned into `bins` range blocks (floor is monotone, so
+  /** Tie-averaged DOUBLED rank frame for EVERY melted column at once:
+    * input (g, name, v, cnt) distinct-value counts, output
+    * (g, name, v, r) with r = 2·cnt_less + cnt_eq + 1 — exactly TWICE
+    * the tie-averaged rank Spearman needs, kept as a LONG so the
+    * downstream moment sums run on the paired-longs integer path.
+    * Pearson correlation of 2·ranks is bit-identical to that of ranks
+    * through [[corrMatrix]]'s closed form: every moment scales by a
+    * power of two (sums ×2, squares/products ×4), and IEEE-754
+    * multiplication, subtraction, division and sqrt all commute
+    * exactly with power-of-two scaling (no overflow at these
+    * magnitudes) — so the oracle may keep ranking with half-integer
+    * ranks. Computed WITHOUT a per-column global sort: the cumulative
+    * count over distinct values is two-phase (the q56 discipline):
+    * values are binned into `bins` range blocks (floor is monotone, so
     * blocking preserves the value order), the within-block cumulative
     * window is bounded by a block's distinct values, and the only
-    * serial window runs over the ≤`bins`-row block-total frame — now
+    * serial window runs over the ≤`bins`-row block-total frame —
     * partitioned by (g, name), so the k columns' serial stages run in
-    * parallel instead of as k separate jobs. Ranks are half-integers —
-    * exact in doubles at any corpus size that fits a long. */
+    * parallel instead of as k separate jobs. */
   private def rankFrameAll(vals: DataFrame, bins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rng = vals.groupBy(col("g"), col("name"))
@@ -166,8 +203,10 @@ object Assoc {
       .select(col("g"), col("name"), col("blk"), col("boff"))
     within.join(broadcast(off), Seq("g", "name", "blk"))
       .select(col("g"), col("name"), col("v"),
-        (col("boff") + col("cum") - col("cnt") +
-          (col("cnt") + 1) / lit(2.0)).as("r"))
+        // doubled rank 2·(boff + cum − cnt) + cnt + 1, pure long
+        // arithmetic — exact at any corpus size that fits a long
+        (lit(2L) * (col("boff") + col("cum") - col("cnt")) +
+          col("cnt") + lit(1L)).as("r"))
   }
 
   /** PUBLIC API — per-group Spearman rank-correlation matrix: Pearson
@@ -191,7 +230,14 @@ object Assoc {
     * inputs must be exactly double-representable (integers, decimals
     * within 2^53 — every fixture measure). NULL handling is
     * complete-case, matching [[corrMatrix]]: a NULL entry finds no
-    * rank, pivots back as a NULL rank, and corrMatrix drops the row. */
+    * rank, pivots back as a NULL rank, and corrMatrix drops the row.
+    *
+    * The moment pass runs corrMatrix's paired-longs path on the
+    * DOUBLED long ranks (see [[rankFrameAll]] for the bit-equality
+    * argument): terms are long products (2r)² ≤ (2n_g)² per group, so
+    * exactness holds while the largest per-group rank stays below
+    * 2^31 ≈ 2.1e9 rows per group (sf1000-lineitem territory); past
+    * that, fall back to pairedColScale = None. */
   def spearman(base: DataFrame, cols: Seq[String],
       bins: Int = 256): DataFrame = {
     def entries = explode(array(cols.map(c =>
@@ -220,7 +266,8 @@ object Assoc {
     val ranked = probe.groupBy(col("rid"), col("g"))
       .agg(pivots.head, pivots.tail: _*)
       .select(col("g") +: cols.map(col): _*)
-    corrMatrix(ranked, cols).withColumnRenamed("corr", "rho")
+    corrMatrix(ranked, cols, pairedColScale = Some(0))
+      .withColumnRenamed("corr", "rho")
   }
 
   /** PUBLIC API — per-group lag-k autocorrelation of a regular (daily)
@@ -268,12 +315,18 @@ object Assoc {
     * generates price independently of quantity, so the matrix is
     * near-diagonal; the audit's value is exactly that it PROVES the
     * independence instead of assuming it. */
+  // paired-longs bound proof (pairedColScale = 2): every input is
+  // decimal(12,2) (exact at 2 dp ✓); the largest scaled column is
+  // l_extendedprice·100 < 1.1e7, so the largest product term is
+  // < 1.21e14 ≪ 2^63, and per-group Σhi < (1.21e14/2^30)·rows ≈
+  // 1.1e5·rows — safe past 10^13 rows
   private def q164(s: SparkSession, dir: String): DataFrame =
     corrMatrix(
       Tables.t(s, dir, "lineitem").select(
         col("l_returnflag").as("g"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax")),
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      pairedColScale = Some(2))
 
   private val q164Cols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -24,19 +24,35 @@ import org.apache.spark.sql.functions._
 object Features {
 
   /** Q121: per-dimension mean and stddev of the embedding corpus,
-    * dimensions 1-based to match the oracle's list ordinals. */
+    * dimensions 1-based to match the oracle's list ordinals.
+    *
+    * Moment sums run on the paired-longs exact path
+    * ([[graft.Canon.psumAggs]]): x and x² carry the same DECIMAL
+    * (·,12)/(·,14) roundings the decimal-sum path applied (via
+    * [[graft.Canon.pterm]]'s scale-12/14 casts), so the recombined
+    * sums are bit-identical and the DuckDB oracle is unchanged.
+    * Bounds: |x| < 1 (unit-scale embedding components; < 10 with
+    * margin), so u₁ = x·10^12 < 10^13 and u₂ = x²·10^14 < 10^16 —
+    * both ≪ 2^63, with per-dimension Σhi < (10^16/2^30)·rows ≈
+    * 10^7·rows, safe past 10^11 vectors. */
   private def q121(s: SparkSession, dir: String): DataFrame = {
-    val s1 = sum(col("x").cast("decimal(28,12)")).cast("double")
-    val s2 = sum((col("x") * col("x")).cast("decimal(28,14)")).cast("double")
     val n = count(lit(1)).cast("double")
     Tables.t(s, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select((col("pos") + 1).cast("long").as("dim"),
         col("xf").cast("double").as("x"))
       .groupBy(col("dim"))
-      .agg(
-        round(s1 / n, 9).as("mu"),
-        round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 9).as("sigma"))
+      .agg(n.as("n"),
+        (graft.Canon.psumAggs(graft.Canon.pterm(col("x"), 12), "s1") ++
+          graft.Canon.psumAggs(
+            graft.Canon.pterm(col("x") * col("x"), 14), "s2")): _*)
+      .select(col("dim"), col("n"),
+        graft.Canon.psumDouble("s1", 12).as("s1"),
+        graft.Canon.psumDouble("s2", 14).as("s2"))
+      .select(col("dim"),
+        round(col("s1") / col("n"), 9).as("mu"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+          (col("n") - lit(1.0))), 9).as("sigma"))
       .orderBy(col("dim").asc_nulls_last)
   }
 

@@ -40,8 +40,17 @@ object Gini {
   private val B = RobustStats.B
 
   /** PUBLIC API — per-group capped-histogram Gini of (g, x) rows with
-    * x ≥ 0: (g, n, gini), 9-dp rounded. */
-  def giniSketch(base: DataFrame): DataFrame = {
+    * x ≥ 0: (g, n, gini), 9-dp rounded.
+    *
+    * `pairedScale = Some(s)` runs the per-bin mass sums on the
+    * paired-longs exact path ([[graft.Canon.psumAggs]]) instead of
+    * DECIMAL(38,12) aggregation buffers — bit-identical when every x
+    * is an exact multiple of 10^-s with x·10^s < 2^63 (caller-owed
+    * bound); the recombined per-bin mass stays DECIMAL through the
+    * cumulative fold. Default None keeps the decimal accumulate for
+    * arbitrary inputs. */
+  def giniSketch(base: DataFrame,
+      pairedScale: Option[Int] = None): DataFrame = {
     val cap = RobustStats.refinedQuantile(base, 0.99, passes = 2)
       .select(col("g"), col("q_est").as("cap"))
     val rng = base.groupBy(col("g"))
@@ -59,11 +68,20 @@ object Gini {
             lit((B - 1).toDouble)), lit(0.0)).cast("int")))
       .groupBy(col("g"), col("bin"))
       .agg(count(lit(1)).as("cnt"),
-        // exact, order-independent bin mass (Canon.dsum discipline);
-        // kept DECIMAL through the cumulative fold so the running sums
-        // are exact in both engines, cast to double only at use
-        sum(col("x").cast("decimal(38,12)")).as("sx"),
-        min(col("nr")).as("n"))
+        (min(col("nr")).as("n") +:
+          // exact, order-independent bin mass (Canon.dsum discipline);
+          // kept DECIMAL through the cumulative fold so the running
+          // sums are exact in both engines, cast to double only at use
+          (pairedScale match {
+            case Some(sc) =>
+              graft.Canon.psumAggs(graft.Canon.pterm(col("x"), sc), "sx")
+            case None =>
+              Seq(sum(col("x").cast("decimal(38,12)")).as("sx"))
+          })): _*)
+      .withColumn("sx", pairedScale match {
+        case Some(sc) => graft.Canon.psumDecimal("sx", sc)
+        case None => col("sx")
+      })
     val wb = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
     val cum = binned
       .withColumn("sv", sum(col("sx")).over(wb).cast("double"))
@@ -85,16 +103,21 @@ object Gini {
   /** Q151: Gini of per-customer 1997 revenue within each nation — the
     * "does one whale customer own the nation's revenue" audit. */
   private def q151(s: SparkSession, dir: String): DataFrame = {
+    // paired-longs bounds: o_totalprice decimal(12,2) < 1e7, so the
+    // per-customer Σ(price·100) < 1e9·orders-per-customer — a single
+    // long ([[graft.Canon.psum1]]) holds past 10^9 orders per key; the
+    // per-bin revenue masses are 2-dp doubles < 2^53 with x·100 < 1e11,
+    // Σhi < (1e11/2^30)·rows ≈ 93·rows — safe at any real corpus
     val rev = Tables.t(s, dir, "orders")
       .where(year(col("o_orderdate")) === 1997)
       .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("x"))
+      .agg(graft.Canon.psum1(col("o_totalprice"), 2).as("x"))
     val base = rev.join(Tables.t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.t(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("g"), col("x"))
-    giniSketch(base)
+    giniSketch(base, pairedScale = Some(2))
   }
 
   private val q151Sql = {

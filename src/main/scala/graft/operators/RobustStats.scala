@@ -643,15 +643,35 @@ object RobustStats {
     * deviation histogram (a double ESTIMATE — q150 stays the
     * refinement-hardened exact counter); `gini` is the UNCAPPED
     * histogram fold (a far outlier coarsens its bins — q151 stays the
-    * p99-capped audit). Laws pinned in ProfilingOpsSpec. */
-  def profile(s: SparkSession, base: DataFrame): DataFrame = {
+    * p99-capped audit). Laws pinned in ProfilingOpsSpec.
+    *
+    * `pairedScale = Some(s)` switches the two FACT-SIZED decimal sums
+    * (scan 2's per-bin mass, scan 3's winsorized sum) to the
+    * paired-longs exact path ([[graft.Canon.psumAggs]]). Bit-identical
+    * when every x is an exact multiple of 10^-s with x·10^s < 2^63;
+    * the winsorized values (clamped at interpolated caps, arbitrary
+    * mantissas) keep their DECIMAL(·,6) rounding semantics via the
+    * scale-6 [[graft.Canon.pterm]], so the caller additionally owes
+    * |x|·10^6 < 2^63 — both bounds trivial for the fixture measures.
+    * Default None keeps decimal aggregation for arbitrary inputs. */
+  def profile(s: SparkSession, base: DataFrame,
+      pairedScale: Option[Int] = None): DataFrame = {
     val rng = rangeOf(base).localCheckpoint() // ----------------- scan 1
     val wc = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
     val hist = base.join(broadcast(rng), Seq("g")) // ------------ scan 2
       .withColumn("bin", binOf)
       .groupBy(col("g"), col("bin"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("x").cast("decimal(38,12)")).as("sx"))
+        (pairedScale match {
+          case Some(sc) =>
+            graft.Canon.psumAggs(graft.Canon.pterm(col("x"), sc), "sx")
+          case None =>
+            Seq(sum(col("x").cast("decimal(38,12)")).as("sx"))
+        }): _*)
+      .withColumn("sx", pairedScale match {
+        case Some(sc) => graft.Canon.psumDecimal("sx", sc)
+        case None => col("sx")
+      })
       .withColumn("cum", sum(col("cnt")).over(wc))
       .withColumn("cum_before", col("cum") - col("cnt"))
       .withColumn("sv", sum(col("sx")).over(wc).cast("double"))
@@ -704,10 +724,21 @@ object RobustStats {
           .otherwise(col("x")))
     val cells = rows.groupBy(col("g"), col("decile"), col("dbin"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("capped").cast("decimal(28,6)")).as("scap"),
-        sum(when(col("x") < col("p_lo"), 1L).otherwise(0L)).as("c_lo"),
-        sum(when(col("x") > col("p_hi"), 1L).otherwise(0L)).as("c_hi"),
-        min(col("n")).as("n"))
+        (Seq(
+          sum(when(col("x") < col("p_lo"), 1L).otherwise(0L)).as("c_lo"),
+          sum(when(col("x") > col("p_hi"), 1L).otherwise(0L)).as("c_hi"),
+          min(col("n")).as("n")) ++
+          (pairedScale match {
+            case Some(_) =>
+              graft.Canon.psumAggs(graft.Canon.pterm(col("capped"), 6),
+                "scap")
+            case None =>
+              Seq(sum(col("capped").cast("decimal(28,6)")).as("scap"))
+          })): _*)
+      .withColumn("scap", pairedScale match {
+        case Some(_) => graft.Canon.psumDecimal("scap", 6)
+        case None => col("scap")
+      })
       .localCheckpoint()
     val decdev = cells.groupBy(col("g"), col("decile"))
       .agg(sum(col("cnt")).as("dcnt"), min(col("n")).as("n"))
@@ -769,9 +800,14 @@ object RobustStats {
   /** Q152: the unified robust profile of l_extendedprice per return
     * flag — the shared-scan replacement for running
     * q123+q124+q126+q150+q151 separately. */
+  // paired-longs bounds (pairedScale = 2): l_extendedprice is
+  // decimal(12,2) < 1.1e5, so x·100 < 1.1e7 and a whole-group bin's
+  // Σhi < (1.1e7/2^30)·rows ≈ 0.011·rows; the scale-6 winsorized term
+  // is < 1.1e11 with Σhi < 103·rows — both safe past 10^13 rows
   private def q152(s: SparkSession, dir: String): DataFrame =
     profile(s, Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")),
+      pairedScale = Some(2))
 
   /** SQL twin of [[profile]] over an arbitrary (g, x) base SELECT —
     * shared by q152 (single column) and q155 (melted whole-table). */
@@ -894,24 +930,28 @@ object RobustStats {
     * never shuffles unmelted, and every downstream frame stays
     * ≤10·B·k·|groups| rows. */
   def profileTable(s: SparkSession, df: DataFrame, g: Column,
-      metrics: Seq[(String, Column)]): DataFrame = {
+      metrics: Seq[(String, Column)],
+      pairedScale: Option[Int] = None): DataFrame = {
     val pairs = array(metrics.map { case (n, c) =>
       struct(lit(n).as("m"), c.cast("double").as("x")) }: _*)
     val base = df.select(g.cast("string").as("gg"), explode(pairs).as("p"))
       .select(concat_ws("/", col("gg"), col("p.m")).as("g"),
         col("p.x").as("x"))
-    profile(s, base)
+    profile(s, base, pairedScale)
   }
 
   /** Q155: the one-pass profile of ALL four lineitem measures
     * (quantity, price, discount, tax) per return flag — 12 profile
     * rows from the same 3 scans q152 spends on one column. */
+  // same bounds as q152: all four melted measures are decimal(12,2)
+  // cast to exact 2-dp doubles < 1.1e5
   private def q155(s: SparkSession, dir: String): DataFrame =
     profileTable(s, Tables.t(s, dir, "lineitem"), col("l_returnflag"),
       Seq("discount" -> col("l_discount"),
         "price" -> col("l_extendedprice"),
         "quantity" -> col("l_quantity"),
-        "tax" -> col("l_tax")))
+        "tax" -> col("l_tax")),
+      pairedScale = Some(2))
 
   private val q155Sql = profileSqlFor(
     """SELECT l_returnflag || '/discount' AS g, l_discount AS x FROM lineitem
