@@ -182,6 +182,36 @@ class DedupBoundsSpec extends AnyFunSuite {
 
   // ---- simhash / embed salted end-to-end ----------------------------------
 
+  test("simhash band blocking is pigeonhole-LOSSLESS at both widths: " +
+      "banded pairs equal brute-force hamming pairs") {
+    import spark.implicits._
+    // varied corpus: exact twins, one-token edits (few bits flipped),
+    // and unrelated docs — brute force over the simhash values is the
+    // ground truth the banding must reproduce exactly
+    val docs = (0 until 60).map { i =>
+      val base = s"shared prefix tokens ${i % 7} plus body ${i % 5} tail"
+      val text = if (i % 3 == 0) base else s"$base extra${i % 11}"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    for ((nBands, bandBits, maxH) <- Seq((10, 6, 8), (8, 12, 7))) {
+      val nBits = nBands * bandBits
+      val sims = graft.operators.Dedup.simhash(docs, nBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val brute = (for {
+        (d1, a0, a1) <- sims; (d2, b0, b1) <- sims
+        if d1 < d2 &&
+          java.lang.Long.bitCount(a0 ^ b0) +
+            java.lang.Long.bitCount(a1 ^ b1) <= maxH
+      } yield (d1, d2)).toSet
+      val banded = pairSet(graft.operators.Dedup.simhashPairs(
+        docs, maxHamming = maxH, nBands = nBands, bandBits = bandBits))
+      assert(banded == brute,
+        s"$nBands×$bandBits: missed=${brute.diff(banded)} " +
+          s"extra=${banded.diff(brute)}")
+      assert(brute.nonEmpty, s"$nBands×$bandBits law is vacuous")
+    }
+  }
+
   test("simhashPairs salted path equals unsalted on degenerate hot-bucket data") {
     import spark.implicits._
     // 120 identical docs → one simhash → every band's bucket is hot
