@@ -87,6 +87,24 @@ object Similarity {
   private val BitsPerTable = 6
   private val ProbeBits = 6
 
+  /** Widest supported bucket (planes are allotted per table in blocks
+    * of this size, so a table's b-bit bucket is the MSB-first PREFIX of
+    * its 12-bit one — any elected width reads the same plane block). */
+  private[operators] val MaxBitsPerTable = 12
+
+  /** CORPUS-SCALED bucket width (VERDICT r13 item 3 — the r13e decade
+    * study measured the fixed 6-bit tables' bucket crowding at 10.7x
+    * per data decade): elect the bucket width from the corpus count so
+    * the expected bucket population n/2^bits stays ≤ ~64 — the same
+    * auto-election move as r13f's containment strategy. The menu is
+    * small and threshold-based so the DuckDB oracle can replay the
+    * election in SQL (q29_lsh_scaled). Fixture scales (≤ 4096 vectors)
+    * elect the classic 6 bits, so every recall law and the pinned
+    * q29_ann_lsh/q29_lsh_cands behavior is unchanged where asserted. */
+  def lshElectedBits(n: Long): Int =
+    if (n <= 4096) 6 else if (n <= 16384) 8
+    else if (n <= 65536) 10 else MaxBitsPerTable
+
   /** Sign bit of plane p as a codegen'd single-pass fold: the plane is a
     * constant-folded float-array literal and sign(dot) == sign(cosine)
     * for nonzero norms, so ONE dot_product fold per plane — the 3-fold
@@ -117,9 +135,14 @@ object Similarity {
     * limit, dropping the whole stage out of codegen. */
   private[operators] def lshIndexed(df: DataFrame, nTables: Int,
       bitsPerTable: Int, probeBits: Int): DataFrame = {
+    require(bitsPerTable <= MaxBitsPerTable,
+      s"bitsPerTable > $MaxBitsPerTable exceeds each table's plane block")
+    // plane index = t·MaxBitsPerTable + i: every width reads a PREFIX
+    // of the same per-table plane block, so an elected-width bucket is
+    // floor(bucket12 / 2^(12-b)) — the property the scaled oracle uses
     val baseCols = (0 until nTables).map { t =>
       expr((0 until bitsPerTable).map(i =>
-        s"(${sigBit(t * bitsPerTable + i)}) * ${1L << (bitsPerTable - 1 - i)}L")
+        s"(${sigBit(t * MaxBitsPerTable + i)}) * ${1L << (bitsPerTable - 1 - i)}L")
         .mkString(" + ")).as(s"_bk$t")
     }
     val staged = df.select(col("*") +: baseCols: _*)
@@ -175,8 +198,14 @@ object Similarity {
       .orderBy(col("q_id").asc_nulls_last, col("rank").asc_nulls_last)
   }
 
-  private def q29lsh(s: SparkSession, dir: String): DataFrame =
-    annLshTopK(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
+  // bucket width elected from the corpus count (a 1-row eager count
+  // pre-pass; parquet count is metadata-cheap) — fixture scales elect
+  // the classic 6 bits, larger corpora widen so buckets never crowd
+  private def q29lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    annLshTopK(s, e, col("vec_id") < 10,
+      bitsPerTable = lshElectedBits(e.count()))
+  }
 
   /** PUBLIC API — the LSH candidate sets, aggregated per query: exactly
     * the (table, bucket) collision pairs `annLshTopK` ranks, without the
@@ -206,6 +235,50 @@ object Similarity {
   private def q29lshCands(s: SparkSession, dir: String): DataFrame =
     annLshCandidates(s, Tables.t(s, dir, "embeddings"), col("vec_id") < 10)
 
+  /** The ELECTED-width candidate twin (oracle-checked): same candidate
+    * aggregation as q29_lsh_cands but at [[lshElectedBits]] of the
+    * corpus count, with the election replayed IN SQL — the DuckDB side
+    * computes every table's full 12-bit bucket and derives the elected
+    * bucket as the integer prefix floor(bk/2^(12−bits)), which equals
+    * the Spark side's direct bits-wide computation because plane
+    * blocks are allotted per table ([[MaxBitsPerTable]]). This is the
+    * decade-study observable for VERDICT r13 item 3: candidate volume
+    * stays ~bucket-population-bound as the corpus grows. */
+  private def q29lshScaled(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    annLshCandidates(s, e, col("vec_id") < 10,
+      bitsPerTable = lshElectedBits(e.count()))
+  }
+
+  private def q29lshScaledSql: String = {
+    def planeDot(p: Int): String =
+      (0 until VectorSql.Dim).map(d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE)*${planeComponent(p, d).toInt}")
+        .mkString(" + ")
+    def bucket12(t: Int): String =
+      (0 until MaxBitsPerTable).map(i =>
+        s"(CASE WHEN (${planeDot(t * MaxBitsPerTable + i)}) >= 0 THEN ${1L << (MaxBitsPerTable - 1 - i)} ELSE 0 END)")
+        .mkString(" + ")
+    val bucketCols = (0 until Tables_).map(t => s"(${bucket12(t)}) AS bk$t")
+      .mkString(",\n    ")
+    val flips = (0L +: (0 until ProbeBits).map(1L << _)).mkString(", ")
+    val collide = (0 until Tables_)
+      .map(t => s"xor(q.bk$t // el.dv, e.bk$t // el.dv) IN ($flips)")
+      .mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketCols FROM embeddings),
+       |el AS (SELECT CAST(pow(2, $MaxBitsPerTable - (CASE
+       |    WHEN COUNT(*) <= 4096 THEN 6 WHEN COUNT(*) <= 16384 THEN 8
+       |    WHEN COUNT(*) <= 65536 THEN 10 ELSE $MaxBitsPerTable END))
+       |    AS BIGINT) AS dv FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id
+       |  FROM q JOIN e ON e.vec_id <> q.vec_id CROSS JOIN el
+       |  WHERE ($collide))
+       |SELECT q_id, COUNT(*) AS n_cands, CAST(SUM(vec_id) AS BIGINT) AS sum_cand,
+       |  MIN(vec_id) AS min_cand, MAX(vec_id) AS max_cand
+       |FROM cand GROUP BY q_id ORDER BY q_id ASC NULLS LAST""".stripMargin
+  }
+
   /** Oracle replaying the full multiprobe banding in SQL: per-table
     * bucket ids from the SAME inlined integer plane constants, and the
     * single-bit-flip probe neighborhood expressed as
@@ -217,7 +290,7 @@ object Similarity {
         .mkString(" + ")
     def bucket(t: Int): String =
       (0 until BitsPerTable).map(i =>
-        s"(CASE WHEN (${planeDot(t * BitsPerTable + i)}) >= 0 THEN ${1L << (BitsPerTable - 1 - i)} ELSE 0 END)")
+        s"(CASE WHEN (${planeDot(t * MaxBitsPerTable + i)}) >= 0 THEN ${1L << (BitsPerTable - 1 - i)} ELSE 0 END)")
         .mkString(" + ")
     val bucketCols = (0 until Tables_).map(t => s"(${bucket(t)}) AS bk$t").mkString(",\n    ")
     val flips = (0L +: (0 until ProbeBits).map(1L << _)).mkString(", ")
@@ -535,6 +608,7 @@ object Similarity {
     QueryDef("q29_ann_brute", q29brute, Some(q29bruteSql)),
     QueryDef("q29_ann_lsh", q29lsh, None),
     QueryDef("q29_lsh_cands", q29lshCands, Some(q29lshCandsSql)),
+    QueryDef("q29_lsh_scaled", q29lshScaled, Some(q29lshScaledSql)),
     QueryDef("q29_ann_ivf", q29ivf, None),
     QueryDef("q29_ivf_cands", q29ivfCands, Some(q29ivfCandsSql)))
 }

@@ -60,7 +60,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q26_dedup_exact", "q27_dedup_minhash", "q27_dedup_ngram",
     "q28_dedup_simhash", "q28_simhash_wide", "q28_dedup_embed",
     "q29_ann_brute",
-    "q29_ann_lsh", "q29_ann_ivf", "q29_lsh_cands", "q29_ivf_cands",
+    "q29_ann_lsh", "q29_ann_ivf", "q29_lsh_cands", "q29_lsh_scaled",
+    "q29_ivf_cands",
     "q29_token_counts", "q29_token_regex", "q30_udf_udaf",
     "q31_text_stats", "q32_lang_id", "q33_fingerprint",
     "q34_media_meta", "q34_media_decode", "q34_media_resize",
