@@ -212,4 +212,62 @@ object Metrics {
     while (m != null) { out += m; m = buffer.poll() }
     out.toSeq
   }
+
+  // ------------------------------------------------ eager-job counter
+  // The plan contracts' documented blind spot (r13, cb3e18d): a query
+  // that runs an EAGER job at DataFrame-CONSTRUCTION time (an election
+  // head(), a refined-quantile bracket pass, a localCheckpoint, a fit)
+  // exposes only its final plan to the shape walk. This counter makes
+  // those pre-passes a CONTRACTED number: PlanContractSpec snapshots it
+  // around each query's constructor and records `prejobs=N`, so a
+  // fact-sized pre-pass can no longer hide outside the plan.
+
+  // Counting is per JOB GROUP, not global: the test suite runs suites
+  // concurrently in one JVM, so a global counter would attribute a
+  // sibling suite's jobs to the measured window. Spark propagates the
+  // calling thread's job group to the jobs it submits (including
+  // broadcast/AQE stage submissions, which capture local properties),
+  // so a unique group wrapped around a constructor isolates its jobs.
+  private val groupJobs =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+  private val jobListenerInstalled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Register the Spark-scheduler job counter once per JVM. */
+  def installJobCounter(spark: SparkSession): Unit =
+    if (jobListenerInstalled.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val g = Option(js.properties)
+              .map(_.getProperty("spark.jobGroup.id")).orNull
+            if (g != null)
+              groupJobs.computeIfAbsent(g,
+                _ => new java.util.concurrent.atomic.AtomicLong(0))
+                .incrementAndGet()
+            ()
+          }
+        })
+
+  /** Number of jobs started under job group `group`, read AFTER the
+    * async listener bus has gone quiet for it (two stable 20 ms polls
+    * or `timeoutMs`): events are posted by the time the eager action
+    * returns but delivered asynchronously. The group's entry is
+    * removed on read (single-use measurement windows). */
+  def jobsInGroupQuiesced(group: String, timeoutMs: Long = 2000): Long = {
+    def cur = Option(groupJobs.get(group)).map(_.get()).getOrElse(0L)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last = -1L
+    var stable = 0
+    while (System.currentTimeMillis() < deadline && stable < 2) {
+      val n = cur
+      if (n == last) stable += 1 else { stable = 0; last = n }
+      Thread.sleep(20)
+    }
+    val n = cur
+    groupJobs.remove(group)
+    n
+  }
 }

@@ -31,13 +31,22 @@ import org.scalatest.funsuite.AnyFunSuite
   *   GRAFT_WRITE_PLAN_CONTRACTS=1 sbt "testOnly graft.PlanContractSpec"
   * and review the .tsv diff like any other code change.
   *
-  * KNOWN BLIND SPOT (documented, accepted): a query that runs an EAGER
-  * side job at DataFrame-construction time (q101_pca_power's fit+persist,
-  * q160/q163's strategy-election pre-pass) exposes only its FINAL plan
-  * here — the eager job's scans/shuffles are invisible. Those jobs are
-  * deliberate one-pass costs documented at their call sites; anything
-  * iterative or fact-quadratic must stay in the returned plan where
-  * these contracts can see it.
+  * The former blind spot — a query that runs an EAGER side job at
+  * DataFrame-construction time exposes only its FINAL plan to the
+  * shape walk — is closed by the `prejobs=N` field (r14, VERDICT r13
+  * item 5): each constructor runs under a unique Spark job group and
+  * the number of jobs it launches is contracted alongside the plan
+  * shape. The known pre-pass operators and their contracted budgets:
+  * q101_pca_power/q101_pca_project (fit + persist / model load),
+  * q160_containment & q163_containment_keep (strategy-election
+  * df-histogram head()), the refined-quantile bracket family
+  * (q150/q151/q152/q155 — bracket passes + localCheckpoints), and
+  * q29_ann_lsh/q29_lsh_scaled (bucket-width election count). A
+  * fact-sized pre-pass sneaking into any constructor now bumps its
+  * prejobs count and fails the diff. (prejobs counts JOBS, not scans:
+  * a localCheckpoint materialization and a 1-row head() both count 1 —
+  * the budget catches NEW pre-passes, the per-site scaladocs still owe
+  * the cost argument.)
   */
 class PlanContractSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -127,12 +136,32 @@ class PlanContractSpec extends AnyFunSuite {
 
   private final case class Shape(shuffles: Int, broadcasts: Int, reuses: Int,
       smj: Int, bhj: Int, bnlj: Int, codegen: Int, scans: Int, dpp: Boolean,
-      bloom: Boolean, gwin: Int) {
+      bloom: Boolean, gwin: Int, prejobs: Int) {
     def render: String = s"shuffles=$shuffles broadcasts=$broadcasts " +
       s"reuses=$reuses smj=$smj bhj=$bhj bnlj=$bnlj codegen=$codegen " +
-      s"scans=$scans dpp=$dpp bloom=$bloom gwin=$gwin"
+      s"scans=$scans dpp=$dpp bloom=$bloom gwin=$gwin prejobs=$prejobs"
   }
 
+  /** Construct the query under a unique job group and count the EAGER
+    * Spark jobs its constructor runs (election head()s, refined-
+    * quantile bracket passes, localCheckpoints, fits) — the r13
+    * blind spot, now a contracted number: a fact-sized pre-pass
+    * slipping into a constructor shows up as a prejobs bump even
+    * though the returned plan reads clean. The group isolates the
+    * window from concurrently running suites. */
+  private def measure(name: String): Shape = {
+    Metrics.installJobCounter(spark)
+    val group = s"prejobs-$name-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, s"prejobs window $name",
+      interruptOnCancel = false)
+    val df =
+      try SparkEntry.queries(name)(spark, sf)
+      finally spark.sparkContext.clearJobGroup()
+    val pre = Metrics.jobsInGroupQuiesced(group).toInt
+    shapeOf(df).copy(prejobs = pre)
+  }
+
+  /** Shape of the returned plan; `prejobs` is filled by [[measure]]. */
   private def shapeOf(df: DataFrame): Shape = {
     // contracts describe the COLD plan: a cached DataFrame left behind
     // by an earlier suite would be silently substituted into any query
@@ -173,13 +202,12 @@ class PlanContractSpec extends AnyFunSuite {
         case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
           w.partitionSpec.isEmpty
         case _ => false
-      })
+      },
+      prejobs = 0)
   }
 
   private lazy val observed: Map[String, Shape] =
-    Contracted.map { name =>
-      name -> shapeOf(SparkEntry.queries(name)(spark, sf))
-    }.toMap
+    Contracted.map { name => name -> measure(name) }.toMap
 
   private lazy val writeMode = sys.env.contains("GRAFT_WRITE_PLAN_CONTRACTS")
 
@@ -198,15 +226,15 @@ class PlanContractSpec extends AnyFunSuite {
             .filter(_.nonEmpty)
             .map { l => val Array(k, v) = l.split("\t", 2); k -> v }.toMap
         else Map.empty
-      // field-evolution shim: a prior-format row (no gwin field) that
-      // matches the observed shape on every shared field is an
+      // field-evolution shim: a prior-format row (no prejobs field)
+      // that matches the observed shape on every shared field is an
       // UNCHANGED row being upgraded, not a plan change — no retry
-      def legacy(s: String): String = s.replaceAll(" gwin=\\d+", "")
+      def legacy(s: String): String = s.replaceAll(" prejobs=\\d+", "")
       val lines = Contracted.map { n =>
         val got = observed(n).render
         val fin = old.get(n) match {
           case Some(prev) if prev != got && prev != legacy(got) =>
-            val re = shapeOf(SparkEntry.queries(n)(spark, sf)).render
+            val re = measure(n).render
             if (re == prev) prev
             else { info(s"contract CHANGED for $n: $prev -> $re"); re }
           case Some(prev) if prev != got =>
@@ -252,7 +280,7 @@ class PlanContractSpec extends AnyFunSuite {
       // reuses). A REAL plan regression reproduces on the quiet retry.
       val got0 = observed(name).render
       val got = if (got0 == contracts(name)) got0
-        else shapeOf(SparkEntry.queries(name)(spark, sf)).render
+        else measure(name).render
       assert(got == contracts(name),
         s"\nPLAN REGRESSION in $name\n  contract: ${contracts(name)}\n" +
           s"  observed: $got\nIf intentional, regenerate with " +
