@@ -15,9 +15,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // scale-aware protocol knob (VERDICT r13 item 6): the decade studies
+    // pin partitions=32 at every sf for comparability, which converts
+    // n·log n sorts into first-spill cliffs at sf10+ and understates AQE.
+    // sf10/sf100 boards additionally run with partitions ∝ sf (e.g. 320)
+    // so slope adjudications can separate algorithm from protocol; both
+    // readings are ledgered in BASELINE.md.
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -162,7 +169,7 @@ object Bench {
       "\"" + k + s"""":{"triggers":$n,"batch_median_sec":$m}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"adjudicated":$adjJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"adjudicated":$adjJson,"partitions":$partitions,"sf":"$sfDir"}"""
     println(line)
     // the COMPLETE machine-readable board (the driver artifact may
     // truncate long stdout): target/bench_board.json for tooling plus a

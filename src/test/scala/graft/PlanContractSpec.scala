@@ -88,7 +88,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q73_bpe_pairs", "q74_pagerank", "q77_dpp_join", "q78_table_diff",
     "q80_bloom_join", "q81_cdc_dedup", "q82_split_leakage",
     "q83_bpe_encode", "q84_temperature_mix", "q85_quality_score",
-    "q86_semdedup", "q87_bigram_lm", "q88_dsir", "q89_stream_upsert",
+    "q86_semdedup", "q86_semdedup_scaled", "q87_bigram_lm", "q88_dsir",
+    "q89_stream_upsert",
     "q90_hll_profile", "q90_distinct_exact", "q91_source_quota",
     "q92_heavy_hitters", "q92_hitters_exact", "q93_threshold_alerts",
     "q94_tpch_q21", "q95_incremental_dedup", "q96_hrw_shards",

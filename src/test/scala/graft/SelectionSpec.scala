@@ -43,6 +43,22 @@ class SelectionSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("scaled-k semdedup equals the pinned-k entry at fixture scale and " +
+      "elects the paper regime past it") {
+    // fixture corpora (≤ 2048 vectors) elect the floor k = 16, so the
+    // scaled board variant must be BIT-EQUAL to the oracle-green pinned
+    // entry here — its correctness anchor, since the elected k varies
+    // with sf and the k-means SQL replay needs k as a literal
+    val a = SparkEntry.queries("q86_semdedup")(spark, sf).collect().toSeq
+    val b = SparkEntry.queries("q86_semdedup_scaled")(spark, sf).collect().toSeq
+    assert(a == b, "scaled variant diverged from pinned entry at floor k")
+    // election law: k ∝ n between floor and the train-sample cap
+    assert(SemDedup.electClusters(500) == 16)
+    assert(SemDedup.electClusters(20000) == 156)
+    assert(SemDedup.electClusters(200000) == 1024)
+    assert(SemDedup.electClusters(100000000) == 1024, "cap must hold")
+  }
+
   // ---- Bigram LM (q87) ----
 
   test("bigram NLL matches the hand formula on a tiny fixture") {
