@@ -53,20 +53,23 @@ object GenScale {
     def raw(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
 
-    /** One row per (row, copy), copy column `cp` in [0, copies). */
+    /** One row per (row, copy), copy column `cp` in [0, copies).
+      * The repartition runs on the SMALL source BEFORE the explode: the
+      * sf0.1 sources are single small files, so the explode would
+      * otherwise run in ONE task and emit ONE file with ONE row group —
+      * a layout that serializes every downstream scan and defeats AQE
+      * skew splitting entirely. Shuffling first costs only the source's
+      * megabytes; shuffling AFTER the explode (the r13 shape) moved the
+      * full replicated corpus through the block manager — 52 GB of
+      * shuffle files for sf100's lineitem, which exhausted the disk. */
     def rep(df: DataFrame): DataFrame =
-      df.withColumn("cp", explode(sequence(lit(0L), lit(copies - 1L))))
+      df.repartition(32)
+        .withColumn("cp", explode(sequence(lit(0L), lit(copies - 1L))))
 
     def off(c: String) = (col(c) + col("cp") * Stride).as(c)
 
     def write(name: String, df: DataFrame): Unit = {
-      // repartition before writing: the sf0.1 sources are single small
-      // files, so the explode would otherwise run in ONE task and emit
-      // ONE file with ONE row group — a layout that serializes every
-      // downstream scan and defeats AQE skew splitting entirely (skew
-      // splits cut at mapper boundaries; a monolithic row group gives
-      // one mapper all the bytes). 32 files ≈ the bench's core count.
-      df.repartition(32).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[genscale] $name written")
     }
 
