@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CdcCuts, CmsEstimate, CosineSimilarity, DotProduct, L2Squared}
+import graft.plans.{CdcCuts, CmsEstimate, CosineSimilarity, DotProduct, L2Squared, LshBuckets}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions for SQL use. Attach with
@@ -39,7 +39,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => CmsEstimate(children(0), children(1))),
     (new FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2Squared].getName, "l2_sq"),
-      (children: Seq[Expression]) => L2Squared(children(0), children(1))))
+      (children: Seq[Expression]) => L2Squared(children(0), children(1))),
+    (new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      // (embedding, nTables, bitsPerTable) — the two widths must be
+      // integer literals (they size the static plane matrix)
+      (children: Seq[Expression]) => LshBuckets(children(0),
+        children(1).eval(null).asInstanceOf[Number].intValue(),
+        children(2).eval(null).asInstanceOf[Number].intValue())))
 }
 
 /** Runtime registration for sessions the engine does not construct. */

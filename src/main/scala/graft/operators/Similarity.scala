@@ -66,14 +66,10 @@ object Similarity {
        |ORDER BY q_id ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived integer mapped to [-1000, 1000]. */
-  private[operators] def planeComponent(p: Int, d: Int): Double = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane:$p:$d".getBytes("UTF-8"))
-      .take(7).map("%02x".format(_)).mkString
-    val v = java.lang.Long.parseLong(hex, 16)
-    ((v % 2001L) - 1000L).toDouble
-  }
+    * md5-derived integer mapped to [-1000, 1000] (canonical impl lives
+    * with the native bucket expression, [[graft.plans.LshBuckets]]). */
+  private[operators] def planeComponent(p: Int, d: Int): Double =
+    graft.plans.LshBuckets.planeComponent(p, d)
 
   // LSH defaults, tuned on the fixture until measured recall@5 vs brute
   // force reached ≥ 0.8 (LlmOpsSpec asserts a 0.6 floor): 12 tables × 6
@@ -90,7 +86,7 @@ object Similarity {
   /** Widest supported bucket (planes are allotted per table in blocks
     * of this size, so a table's b-bit bucket is the MSB-first PREFIX of
     * its 12-bit one — any elected width reads the same plane block). */
-  private[operators] val MaxBitsPerTable = 12
+  private[operators] val MaxBitsPerTable = graft.plans.LshBuckets.MaxBitsPerTable
 
   /** CORPUS-SCALED bucket width (VERDICT r13 item 3 — the r13e decade
     * study measured the fixed 6-bit tables' bucket crowding at 10.7x
@@ -105,49 +101,35 @@ object Similarity {
     if (n <= 4096) 6 else if (n <= 16384) 8
     else if (n <= 65536) 10 else MaxBitsPerTable
 
-  /** Sign bit of plane p as a codegen'd single-pass fold: the plane is a
-    * constant-folded float-array literal and sign(dot) == sign(cosine)
-    * for nonzero norms, so ONE dot_product fold per plane — the 3-fold
-    * cosine variant tripled the signature expression volume and pushed
-    * the 72-plane projection out of codegen (measured 4x slower). */
-  /** Sign bit of the projection onto plane `p`. Cross-engine parity with
-    * the oracle's double arithmetic (q29lshCandsSql) holds bit-exactly:
-    * `dot_product` accumulates in DOUBLE left-to-right
-    * (plans/DotProduct.scala doGenCode: `dot += (double)x * (double)y`),
-    * the ±1 plane components are exact in float, and DuckDB's
-    * `CAST(e[i] AS DOUBLE)*c + …` chain is the same left-associated
-    * double fold over the same values — so the sign can never flip
-    * between engines. (An inlined 64-term SQL chain was tried and is
-    * semantically identical but falls out of codegen: 20× slower.) */
-  private def sigBit(p: Int): String = {
-    val arr = (0 until 64).map(d => planeComponent(p, d).toInt).mkString(",")
-    s"if(dot_product(embedding, cast(array($arr) as array<float>)) >= 0d, 1L, 0L)"
-  }
-
   /** One row per (vector, table): bucket = that table's sign bits;
     * probe > 0 additionally emits the single-bit-flip neighbor buckets
     * (query side only — the corpus is indexed exactly once per table).
-    * Two-stage projection on purpose: stage 1 computes each table's base
-    * bucket ONCE as a named column (nTables x bitsPerTable codegen dot
-    * folds); stage 2 builds the probe structs from those column refs
-    * (cheap XORs). Inlining `base` into all probeBits+1 structs put
-    * ~500 dot_product folds in one Project — past janino's method
-    * limit, dropping the whole stage out of codegen. */
+    *
+    * The whole signature comes from ONE native expression pass
+    * ([[graft.plans.LshBuckets]] — the r13 per-plane `dot_product` fold
+    * chain left whole-stage codegen past ~a dozen planes, measured r14
+    * at ~1 s per plane per 200k vectors; the native pass is ~250x
+    * cheaper and its generated code size is constant in the plane
+    * count). Cross-engine parity with the oracle's double arithmetic
+    * holds bit-exactly: the expression accumulates
+    * `(double) x[i] * (double) plane[i]` left-to-right — the same
+    * left-associated double fold as DuckDB's inlined
+    * `CAST(e[i] AS DOUBLE)*c + …` chain over the same md5-derived
+    * integer components, so a sign can never flip between engines.
+    * Plane index = t·MaxBitsPerTable + i: every width reads a PREFIX
+    * of the same per-table plane block, so an elected-width bucket is
+    * floor(bucket12 / 2^(12−b)) — the property the scaled oracle uses.
+    * The probe structs are built from the materialized bucket-array
+    * column (cheap element_at + XORs), never re-projecting planes. */
   private[operators] def lshIndexed(df: DataFrame, nTables: Int,
       bitsPerTable: Int, probeBits: Int): DataFrame = {
     require(bitsPerTable <= MaxBitsPerTable,
       s"bitsPerTable > $MaxBitsPerTable exceeds each table's plane block")
-    // plane index = t·MaxBitsPerTable + i: every width reads a PREFIX
-    // of the same per-table plane block, so an elected-width bucket is
-    // floor(bucket12 / 2^(12-b)) — the property the scaled oracle uses
-    val baseCols = (0 until nTables).map { t =>
-      expr((0 until bitsPerTable).map(i =>
-        s"(${sigBit(t * MaxBitsPerTable + i)}) * ${1L << (bitsPerTable - 1 - i)}L")
-        .mkString(" + ")).as(s"_bk$t")
-    }
-    val staged = df.select(col("*") +: baseCols: _*)
+    graft.Graft.register(df.sparkSession)
+    val staged = df.withColumn("_bks",
+      expr(s"lsh_buckets(embedding, $nTables, $bitsPerTable)"))
     val buckets = (0 until nTables).flatMap { t =>
-      val base = col(s"_bk$t")
+      val base = element_at(col("_bks"), t + 1)
       struct(lit(t).as("tbl"), base.as("bucket")) +:
         (0 until probeBits).map(b => struct(lit(t).as("tbl"),
           base.bitwiseXOR(lit(1L << b)).as("bucket")))
@@ -155,7 +137,7 @@ object Similarity {
     staged.withColumn("bb", explode(array(buckets: _*)))
       .withColumn("tbl", col("bb.tbl"))
       .withColumn("bucket", col("bb.bucket"))
-      .drop("bb" +: (0 until nTables).map(t => s"_bk$t"): _*)
+      .drop("bb", "_bks")
   }
 
   /** PUBLIC API — LSH-bucketed ANN top-k (the scale path): a multi-table
@@ -474,10 +456,15 @@ object Similarity {
     * 100 TB training over the corpus would dominate the build. Shared by
     * the in-memory (annIvfTopK) and persisted (buildIvfIndex) paths so
     * identical parameters produce identical indexes. */
+  /** Deterministic bounded training sample: the 20·k smallest-md5
+    * rows, capped at [[MaxTrainRows]] — past k = [[MaxTrainRows]]/20
+    * the per-centroid sample thins (scaled-k SemDeDup runs k up to
+    * MaxTrainRows/4 = 4 samples/centroid), which coarsens the
+    * quantizer but keeps the decimal-mean bit-parity bound intact. */
   private[operators] def trainSample(e: DataFrame, nCentroids: Int): DataFrame = e
     .orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
       col("vec_id").asc_nulls_last)
-    .limit(20 * nCentroids)
+    .limit(math.min(20 * nCentroids, MaxTrainRows))
 
   def buildIvfIndex(s: SparkSession, corpus: DataFrame, indexDir: String,
       nCentroids: Int = Centroids, trainIters: Int = TrainIters): DataFrame = {
