@@ -84,8 +84,13 @@ object Bench {
     // A failed query reports -1.0 and is EXCLUDED from the headline total
     // (and listed under "failed") rather than silently corrupting it; a
     // failed warm-up skips the timed runs entirely.
+    // SPARK_GRAFT_BENCH_WARM=0 skips the warm-up execution — for the
+    // sf100 spot-study, where a multi-minute query's doubled cost buys
+    // little (JIT is warm from earlier queries; the first-read footer
+    // cache matters less than the scan itself at that scale)
+    val doWarm = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     val results = names.map { name =>
-      val warm = once(name) // warm-up (also JIT + file-footer caches)
+      val warm = if (doWarm) once(name) else 0.0
       val r = if (warm < 0) name -> -1.0
       else {
         val times = (1 to runs).map(_ => once(name)).sorted
