@@ -234,9 +234,14 @@ class PlanContractSpec extends AnyFunSuite {
       val lines = Contracted.map { n =>
         val got = observed(n).render
         val fin = old.get(n) match {
+          // only the prejobs count dropped (base fields identical):
+          // a warmed cache skipped a setup-once constructor's jobs —
+          // keep the stored fresh-JVM budget, don't ratchet it down
+          case Some(prev) if prev != got && matchesContract(got, prev) =>
+            prev
           case Some(prev) if prev != got && prev != legacy(got) =>
             val re = measure(n).render
-            if (re == prev) prev
+            if (re == prev || matchesContract(re, prev)) prev
             else { info(s"contract CHANGED for $n: $prev -> $re"); re }
           case Some(prev) if prev != got =>
             // old-format row baptized with the observed field values —
@@ -271,6 +276,25 @@ class PlanContractSpec extends AnyFunSuite {
       .filter(_.nonEmpty)
       .map { l => val Array(k, v) = l.split("\t", 2); k -> v }.toMap
 
+  private val PrejobsRe = " prejobs=(\\d+)".r
+  private def splitPrejobs(s: String): (String, Int) =
+    (PrejobsRe.replaceAllIn(s, ""),
+      PrejobsRe.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(-1))
+
+  /** prejobs is an UPPER-BOUND contract, every other field exact: a
+    * setup-once constructor (q50's bucketed-table write, q54's schema
+    * versions, q77's partitioned sink) legitimately runs ZERO eager
+    * jobs when an earlier suite already materialized its table, so
+    * equality is order-dependent under the parallel suite — but a NEW
+    * pre-pass can only push the count ABOVE the fresh-JVM budget the
+    * write-mode regen recorded, which is the regression the field
+    * exists to catch. */
+  private def matchesContract(got: String, contract: String): Boolean = {
+    val (gb, gp) = splitPrejobs(got)
+    val (cb, cp) = splitPrejobs(contract)
+    gb == cb && gp <= cp
+  }
+
   Contracted.foreach { name =>
     test(s"$name executed-plan shape matches its contract") {
       // one recompute on mismatch: under the full parallel suite, AQE
@@ -280,11 +304,12 @@ class PlanContractSpec extends AnyFunSuite {
       // under load (observed once on q27 in a full run; alone it always
       // reuses). A REAL plan regression reproduces on the quiet retry.
       val got0 = observed(name).render
-      val got = if (got0 == contracts(name)) got0
+      val got = if (matchesContract(got0, contracts(name))) got0
         else measure(name).render
-      assert(got == contracts(name),
+      assert(matchesContract(got, contracts(name)),
         s"\nPLAN REGRESSION in $name\n  contract: ${contracts(name)}\n" +
-          s"  observed: $got\nIf intentional, regenerate with " +
+          s"  observed: $got\n(prejobs is a <= bound; other fields exact)" +
+          "\nIf intentional, regenerate with " +
           "GRAFT_WRITE_PLAN_CONTRACTS=1 sbt 'testOnly graft.PlanContractSpec'")
     }
   }
