@@ -101,6 +101,22 @@ object Similarity {
     if (n <= 4096) 6 else if (n <= 16384) 8
     else if (n <= 65536) 10 else MaxBitsPerTable
 
+  /** Companion table count for [[lshElectedBits]]: doubling the tables
+    * per +2 bucket bits holds the OR-construction recall
+    * (1 − (1 − p^bits)^tables) roughly constant for p ≳ 2/3 — the
+    * standard LSH (n^ρ) scaling: width buys sub-linear candidates,
+    * tables buy the recall back. The projection is cheap since
+    * [[graft.plans.LshBuckets]] (one native pass, ~30 ns/plane/row);
+    * candidate volume still falls ~2x per decade vs fixed width. Used
+    * by the recall-bounded q29_ann_lsh; the oracle-checked
+    * q29_lsh_scaled twin elects WIDTH ONLY (its SQL replay computes
+    * every table's bucket — a fixed 12-table matrix keeps that oracle
+    * parseable), so it measures the width election's candidate story
+    * while this pair keeps the operator's recall story. */
+  def lshElectedTables(n: Long): Int =
+    if (n <= 4096) 12 else if (n <= 16384) 24
+    else if (n <= 65536) 48 else 96
+
   /** One row per (vector, table): bucket = that table's sign bits;
     * probe > 0 additionally emits the single-bit-flip neighbor buckets
     * (query side only — the corpus is indexed exactly once per table).
@@ -185,8 +201,9 @@ object Similarity {
   // the classic 6 bits, larger corpora widen so buckets never crowd
   private def q29lsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
+    val n = e.count()
     annLshTopK(s, e, col("vec_id") < 10,
-      bitsPerTable = lshElectedBits(e.count()))
+      nTables = lshElectedTables(n), bitsPerTable = lshElectedBits(n))
   }
 
   /** PUBLIC API — the LSH candidate sets, aggregated per query: exactly
