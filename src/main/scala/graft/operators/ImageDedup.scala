@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * Hamming ≤ 7 shares a verbatim band (lossless by construction, the
   * q62 PassJoin argument, not a probabilistic LSH bound) and only
   * band-equal candidates are ever verified. No all-pairs stage at any
-  * scale; hot bands are impossible because band keys are 8 pseudorandom
-  * bits of content (≤ 256 keys per band saturate only past ~10⁵ images,
-  * at which point a doc-frequency cap like q27's dfCap applies).
+  * scale. The 64-bit layout's 8-bit band keys (256/band) birthday-
+  * saturate past ~10⁵ images (measured 8.8x wall per decade, r14e);
+  * q97_phash_wide is the scale path — a 16×17 grid ⇒ 256-bit hash ⇒
+  * 8 bands × 32-bit keys that never saturate, same pigeonhole
+  * losslessness at hamming ≤ 7 (planted variants measure ≤ 5 bits
+  * apart at the wide grid; random pairs ≥ 47).
   *
   * The fixture plants near-dup pairs: every 3rd image gets a variant
   * copy with ~1 % of pixels channel-shifted — block sums barely move,
@@ -73,10 +76,16 @@ object ImageDedup {
     bos.toByteArray
   }
 
-  /** 64-bit dHash of a PNG payload as a '0'/'1' string (bit (gy, gx) at
-    * index gy·8 + gx). Integer-exact: block sums + cross-multiplied
-    * mean comparison, no division, no floats. */
-  def dhashBits(payload: Array[Byte]): String = {
+  /** gridRows·(gridCols−1)-bit dHash of a PNG payload as a '0'/'1'
+    * string (bit (gy, gx) at index gy·(gridCols−1) + gx). Integer-exact:
+    * block sums + cross-multiplied mean comparison, no division, no
+    * floats. An EMPTY block (possible when w < gridCols: some grid
+    * columns receive no pixels) has s = c = 0, and the cross-product
+    * rule 0 > 0 yields bit '0' deterministically — the SQL oracle
+    * replays this with a dense-grid LEFT JOIN. Default 8×9 grid = the
+    * 64-bit q97 layout; 16×17 = the 256-bit wide layout. */
+  def dhashBits(payload: Array[Byte], gridRows: Int = 8,
+      gridCols: Int = 9): String = {
     val reader = Multimodal.pngReaderSpi.createReaderInstance()
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -86,14 +95,14 @@ object ImageDedup {
     } finally { reader.dispose(); iis.close() }
     require(img != null, "undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
-    val s = Array.ofDim[Long](8, 9)
-    val c = Array.ofDim[Long](8, 9)
+    val s = Array.ofDim[Long](gridRows, gridCols)
+    val c = Array.ofDim[Long](gridRows, gridCols)
     var y = 0
     while (y < h) {
-      val gy = y * 8 / h
+      val gy = y * gridRows / h
       var x = 0
       while (x < w) {
-        val gx = x * 9 / w
+        val gx = x * gridCols / w
         val rgb = img.getRGB(x, y)
         s(gy)(gx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
         c(gy)(gx) += 1
@@ -101,11 +110,11 @@ object ImageDedup {
       }
       y += 1
     }
-    val sb = new java.lang.StringBuilder(64)
+    val sb = new java.lang.StringBuilder(gridRows * (gridCols - 1))
     var gy = 0
-    while (gy < 8) {
+    while (gy < gridRows) {
       var gx = 0
-      while (gx < 8) {
+      while (gx < gridCols - 1) {
         sb.append(
           if (s(gy)(gx) * c(gy)(gx + 1) > s(gy)(gx + 1) * c(gy)(gx)) '1'
           else '0')
@@ -117,45 +126,73 @@ object ImageDedup {
   }
 
   /** PUBLIC API — near-dup image pairs (a_id, b_id, hamming ≤ `maxHamming`)
-    * over (media_id, payload) rows. maxHamming ≤ 7 keeps the band
-    * blocking provably lossless. */
+    * over (media_id, payload) rows. maxHamming ≤ nBands−1 keeps the band
+    * blocking provably lossless (pigeonhole). The default 8×9 grid is the
+    * 64-bit q97 oracle layout (8 bands × 8-bit keys); gridRows=16,
+    * gridCols=17 is the WIDE 256-bit layout (8 bands × 32-bit keys =
+    * 2³² keys/band) — the 10⁸-image scale path the r13 decade study
+    * called for: band keys never birthday-saturate, so the candidate
+    * stream stays ~linear where the 64-bit layout measured Σ bucket²
+    * growth (8.8x wall per decade at r14e). */
   def phashPairs(spark: SparkSession, imgs: Dataset[ImgRec],
-      maxHamming: Int = MaxHamming): DataFrame = {
+      maxHamming: Int = MaxHamming, gridRows: Int = 8, gridCols: Int = 9,
+      nBands: Int = 8): DataFrame = {
     import spark.implicits._
-    require(maxHamming <= MaxHamming,
-      s"band blocking is lossless only up to hamming $MaxHamming")
     val bits = imgs.mapPartitions(_.map(r =>
-      ImgBits(r.media_id, dhashBits(r.payload)))).toDF()
+      ImgBits(r.media_id, dhashBits(r.payload, gridRows, gridCols)))).toDF()
+    bandedHammingPairs(spark, bits, gridRows * (gridCols - 1),
+      nBands, maxHamming)
+  }
+
+  /** The pairing stage alone: banded pigeonhole blocking + packed-long
+    * hamming verification over (media_id, bits) rows — factored out so
+    * the saturation A/B ([[graft.PhashAb]]) can drive it on synthetic
+    * DISTINCT hashes, where the registry fixture's mod-768 pixel
+    * formula caps the corpus at 256 distinct image classes and makes
+    * the answer itself quadratic. */
+  def bandedHammingPairs(spark: SparkSession, bits: DataFrame,
+      nBits: Int, nBands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= nBands - 1,
+      s"$nBands-band blocking is lossless only up to hamming ${nBands - 1}")
+    require(nBits % nBands == 0, "nBands must divide the bit count")
+    require(nBits % 64 == 0, "bit count must pack into whole 64-bit words")
+    val bandBits = nBits / nBands
+    val words = nBits / 64
     val bands = bits.select(col("media_id"), col("bits"),
-        explode(array((0 until 8).map(b =>
+        explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
-            substring(col("bits"), b * 8 + 1, 8).as("bk"))): _*)).as("bb"))
+            substring(col("bits"), b * bandBits + 1, bandBits).as("bk"))): _*))
+          .as("bb"))
       .select(col("media_id"), col("bits"),
         col("bb.band").as("band"), col("bb.bk").as("bk"))
     // Saturated-band regime (found by the r13 sf10 decade run): past
-    // ~10^5 images the 256 keys per band saturate and the band join
-    // fans out to Σ bucket² candidate pairs (~44 M at 53 k images).
-    // Two rules keep that regime cheap: (1) verify with
-    // bit_count(xor) over the hash packed into ONE long — a codegen
+    // ~10^5 images the 256 keys per band of the 64-bit layout saturate
+    // and the band join fans out to Σ bucket² candidate pairs (~44 M at
+    // 53 k images). Two rules keep that regime cheap: (1) verify with
+    // bit_count(xor) over the hash packed into 64-bit words — a codegen
     // integer op, not the 64-char string lambda this path shipped with
-    // — and (2) verify BEFORE deduplicating, so the ≤7-hamming
+    // — and (2) verify BEFORE deduplicating, so the ≤maxHamming
     // survivors (tiny by construction) are all that ever shuffles; the
     // candidate stream itself pipes map-side from the join. Losslessness
     // is untouched (every candidate is still verified exactly). The
-    // remaining quadratic Σ bucket² term is inherent to a 64-bit hash
-    // with h = 7 (pigeonhole needs 8 bands ⇒ 8-bit keys); the 10^8-image
-    // scale path is a wider perceptual hash (256-bit ⇒ 32-bit band
-    // keys), not a band cap — a cap would break the no-miss guarantee.
-    // pack as two 32-bit halves + shift: conv() of all 64 bits returns
-    // a string whose high-bit values overflow the signed-long cast
-    val packed = bands.withColumn("h",
-      expr("shiftleft(cast(conv(substring(bits, 1, 32), 2, 10) as bigint), 32)" +
-        " | cast(conv(substring(bits, 33, 32), 2, 10) as bigint)"))
+    // quadratic Σ bucket² term itself is killed by the WIDE layout
+    // (32-bit band keys), not a band cap — a cap would break the
+    // no-miss guarantee.
+    // pack each word as two 32-bit halves + shift: conv() of 64 bits
+    // returns a string whose high-bit values overflow the signed cast
+    val packed = (0 until words).foldLeft(bands) { (df, i) =>
+      df.withColumn(s"h$i",
+        expr(s"shiftleft(cast(conv(substring(bits, ${i * 64 + 1}, 32), 2, 10) as bigint), 32)" +
+          s" | cast(conv(substring(bits, ${i * 64 + 33}, 32), 2, 10) as bigint)"))
+    }
+    val hamming = (0 until words)
+      .map(i => expr(s"bit_count(x.h$i ^ y.h$i)"))
+      .reduce(_ + _).cast("long").as("hamming")
     packed.as("x").join(packed.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"),
-        expr("bit_count(x.h ^ y.h)").cast("long").as("hamming"))
+        hamming)
       .where(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("a_id").asc_nulls_last, col("b_id").asc_nulls_last,
@@ -238,6 +275,67 @@ object ImageDedup {
        |ORDER BY a_id ASC NULLS LAST, b_id ASC NULLS LAST,
        |  hamming ASC NULLS LAST""".stripMargin
 
+  private def q97wide(s: SparkSession, dir: String): DataFrame =
+    phashPairs(s, imageTable(s, dir), gridRows = 16, gridCols = 17)
+
+  /** Wide-layout oracle: same pixel/block/bit replay at the 16×17 grid.
+    * Two deltas vs the 64-bit oracle: (1) a dense (gy, gx) grid with a
+    * LEFT JOIN onto the block sums — w < 17 leaves grid columns empty,
+    * and the cross-product rule at s = c = 0 must yield '0' exactly as
+    * the executor arrays do; (2) hamming via native BIT xor + bit_count
+    * instead of a 256-way position join (the 64-bit oracle's
+    * `CROSS JOIN range(64)` would cost 4x more here for no fidelity). */
+  private val q97WideSql =
+    s"""WITH img AS (
+       |  SELECT doc_id * 2 AS media_id, doc_id, 0 AS pert,
+       |    CAST(16 + doc_id % 64 AS INT) AS w, CAST(16 + doc_id % 48 AS INT) AS h
+       |  FROM documents WHERE doc_id % 15 = 0
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1, doc_id, 1,
+       |    CAST(16 + doc_id % 64 AS INT), CAST(16 + doc_id % 48 AS INT)
+       |  FROM documents WHERE doc_id % 45 = 0),
+       |e AS (
+       |  SELECT media_id, doc_id, pert, w, h,
+       |    unnest(generate_series(0, w * h - 1)) AS i FROM img),
+       |px AS (
+       |  SELECT media_id, w, h, i % w AS x, i // w AS y,
+       |    CASE WHEN pert = 1 AND i % 101 = 0
+       |      THEN ((doc_id * 7 + (i % w) * 3 + (i // w) * 5) % 256 + 40) % 256
+       |      ELSE (doc_id * 7 + (i % w) * 3 + (i // w) * 5) % 256 END
+       |    + (doc_id * 11 + (i % w) * 13 + (i // w) * 2) % 256
+       |    + (doc_id * 3 + (i % w) + (i // w) * 17) % 256 AS lum
+       |  FROM e),
+       |blk AS (
+       |  SELECT media_id, (x * 17) // w AS gx, (y * 16) // h AS gy,
+       |    SUM(lum) AS s, COUNT(*) AS c
+       |  FROM px GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT media_id, gy.gy, gx.gx
+       |  FROM (SELECT DISTINCT media_id FROM img)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS gy) gy
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS gx) gx),
+       |dense AS (
+       |  SELECT g.media_id, g.gy, g.gx,
+       |    COALESCE(b.s, 0) AS s, COALESCE(b.c, 0) AS c
+       |  FROM grid g LEFT JOIN blk b
+       |    ON g.media_id = b.media_id AND g.gy = b.gy AND g.gx = b.gx),
+       |bit AS (
+       |  SELECT a.media_id, a.gy, a.gx,
+       |    CASE WHEN a.s * b.c > b.s * a.c THEN '1' ELSE '0' END AS bch
+       |  FROM dense a JOIN dense b
+       |    ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < 16),
+       |bits AS (
+       |  SELECT media_id, string_agg(bch, '' ORDER BY gy, gx) AS bs
+       |  FROM bit GROUP BY media_id)
+       |SELECT a.media_id AS a_id, b.media_id AS b_id,
+       |  CAST(bit_count(xor(a.bs::BIT, b.bs::BIT)) AS BIGINT) AS hamming
+       |FROM bits a JOIN bits b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.bs::BIT, b.bs::BIT)) <= $MaxHamming
+       |ORDER BY a_id ASC NULLS LAST, b_id ASC NULLS LAST,
+       |  hamming ASC NULLS LAST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q97_phash_dedup", q97, Some(q97Sql)))
+    QueryDef("q97_phash_dedup", q97, Some(q97Sql)),
+    QueryDef("q97_phash_wide", q97wide, Some(q97WideSql)))
 }

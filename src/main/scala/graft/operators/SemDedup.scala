@@ -60,10 +60,16 @@ object SemDedup {
     val cent = Similarity.trainIvfCentroids(
       s, Similarity.trainSample(e, nClusters), nClusters, trainIters)
     val a = Similarity.assignWithSim(s, e, cent)
-    // Within-cluster duplicate sweep: one exchange keyed by c_id. The
-    // keep rule is a pure pairwise predicate (no transitive closure — a
-    // chain a~b~c keeps exactly its per-pair survivors), so dropped =
-    // one semi-join-shaped aggregation, not a fixpoint.
+    sweepAndSelect(s, a, threshold)
+  }
+
+  /** Within-cluster duplicate sweep over assigned (vec_id, embedding,
+    * c_id, c_sim) rows: one exchange keyed by c_id. The keep rule is a
+    * pure pairwise predicate (no transitive closure — a chain a~b~c
+    * keeps exactly its per-pair survivors), so dropped = one
+    * semi-join-shaped aggregation, not a fixpoint. */
+  private def sweepAndSelect(s: SparkSession, a: DataFrame,
+      threshold: Double): DataFrame = {
     val dropped = a.as("x").join(a.as("y"),
         col("x.c_id") === col("y.c_id") && col("x.vec_id") =!= col("y.vec_id"))
       .where(VectorOps.cosineFast(s, "x.embedding", "y.embedding") > threshold)
@@ -94,6 +100,86 @@ object SemDedup {
     math.max(Clusters,
       math.min((n / TargetClusterPop).toInt, Similarity.MaxTrainRows / 4))
 
+  /** TWO-LEVEL (hierarchical) k-means SemDeDup — the k ∝ n regime past
+    * the flat trainer's cap. The r14 sf100 study measured the capped
+    * flat path saturating exactly as predicted: with k stuck at
+    * MaxTrainRows/4 = 1024, per-cluster population grows again past
+    * ~10⁵ vectors (2M/1024 ≈ 1953 ⇒ a ~8·10⁹-pair sweep, DNF at the
+    * 20-minute budget). Here k = k1·k2 without a bigger flat sample:
+    * train k1 coarse centroids on the usual bounded sample, assign the
+    * corpus once (n·k1 broadcast rows), then train k2 FINE centroids
+    * per coarse group with a single grouped Lloyd loop (the
+    * [[Pq.trainCodebook]] subspace-keyed discipline with the coarse id
+    * as the group key — per-(g, c_id, pos) DECIMAL sums keep the
+    * bit-parity bound because each group's sample is ≤ 20·k2 ≤
+    * MaxTrainRows rows), and assign each vector among its OWN group's
+    * fine centroids (n·k2 broadcast rows). Total assignment cost
+    * n·(k1+k2) = n·2√k instead of n·k: at sf100 (2M vectors,
+    * k = 15 625) that is 2M·250 vs 2M·15 625 — 62x less. The fine
+    * centroid table (k1·k2 rows × dim floats) stays broadcastable past
+    * 10⁸ vectors; beyond that, swap the final broadcast join for a
+    * shuffle join keyed by g (documented, not needed at any measured
+    * scale). Per-cluster population stays ~[[TargetClusterPop]], so the
+    * quadratic sweep budget holds at every decade. */
+  def semDedupTwoLevel(s: SparkSession, corpus: DataFrame,
+      k1: Int, k2: Int, threshold: Double = Threshold,
+      trainIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val coarse = Similarity.trainIvfCentroids(
+      s, Similarity.trainSample(e, k1), k1, trainIters)
+    // (vec_id, embedding, g): every vector's coarse group, checkpointed
+    // once — reread by the per-group sample, the grouped Lloyd loop's
+    // lineage root, and the final fine assignment
+    val ga = Similarity.assignToCentroids(s, e, coarse)
+      .withColumnRenamed("c_id", "g").localCheckpoint()
+    val wg = Window.partitionBy(col("g"))
+      .orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
+    val sample = ga
+      .withColumn("r", md5(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(wg))
+      .where(col("rn") <= 20 * k2)
+      .select(col("g"), col("vec_id"), col("embedding"), col("rn"))
+      .localCheckpoint()
+    // seeds: the k2 md5-smallest rows of each group (groups smaller
+    // than k2 simply get fewer fine centroids)
+    var cent = sample.where(col("rn") <= k2)
+      .select(col("g"), col("rn").cast("int").as("f_id"),
+        col("embedding").as("c_emb"))
+      .localCheckpoint()
+    def assignFine(rows: DataFrame, c: DataFrame): DataFrame =
+      rows.join(broadcast(c), Seq("g"))
+        .select(col("vec_id"), col("g"), col("embedding"), col("f_id"),
+          VectorOps.cosineFast(s, "c_emb", "embedding").as("c_sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("c_sim"), (-col("f_id")).as("nf"), col("f_id"),
+          col("g"), col("embedding"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.g").as("g"), col("best.f_id").as("f_id"),
+          col("best.c_sim").as("c_sim"))
+    for (_ <- 1 to trainIters) {
+      val means = assignFine(sample, cent)
+        .select(col("g"), col("f_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("g"), col("f_id"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("g"), col("f_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("g"), col("f_id"),
+          expr("transform(pm, x -> cast(x.m as float))").as("new_emb"))
+      cent = cent.join(means, Seq("g", "f_id"), "left")
+        .select(col("g"), col("f_id"),
+          coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+        .localCheckpoint()
+    }
+    val a = assignFine(ga, cent)
+      .select(col("vec_id"), col("embedding"),
+        ((col("g") - 1) * k2 + col("f_id")).cast("int").as("c_id"),
+        col("c_sim"))
+    sweepAndSelect(s, a, threshold)
+  }
+
   /** The scaled-k board variant (VERDICT r13 item 7): q86's 14.4x
     * decade slope was adjudicated as the PINNED-k fixture contract, not
     * the operator — this entry runs the paper's k ∝ n regime so the
@@ -104,7 +190,16 @@ object SemDedup {
     * green pinned entry at fixture scale is the correctness anchor. */
   private def q86scaled(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    semDedup(s, e, nClusters = electClusters(e.count()))
+    val n = e.count()
+    val kIdeal = math.max(Clusters.toLong, n / TargetClusterPop)
+    if (kIdeal <= Similarity.MaxTrainRows / 4)
+      semDedup(s, e, nClusters = kIdeal.toInt)
+    else {
+      // past the flat trainer's cap: two-level election, k1·k2 ≥ kIdeal
+      val k1 = math.ceil(math.sqrt(kIdeal.toDouble)).toInt
+      val k2 = math.ceil(kIdeal.toDouble / k1).toInt
+      semDedupTwoLevel(s, e, k1, k2)
+    }
   }
 
   /** Oracle: the shared k-means chain (bit-identical replay, see

@@ -54,6 +54,43 @@ class ImageDedupSpec extends AnyFunSuite {
     } finally imgs.unpersist(blocking = true)
   }
 
+  test("wide 256-bit dHash is also exactly invariant under brightness") {
+    val base = ImageDedup.dhashBits(png(40, 30, 0), 16, 17)
+    val bright = ImageDedup.dhashBits(png(40, 30, 40), 16, 17)
+    assert(base.length == 256)
+    assert(base == bright)
+  }
+
+  test("wide banded pairing equals brute force at the 16x17 grid") {
+    import spark.implicits._
+    val imgs = ImageDedup.imageTable(spark, sf).cache()
+    try {
+      val got = ImageDedup.phashPairs(spark, imgs,
+          gridRows = 16, gridCols = 17)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bits = imgs.map(r =>
+          (r.media_id, ImageDedup.dhashBits(r.payload, 16, 17)))
+        .collect()
+      val want = (for {
+        (a, ab) <- bits; (b, bb) <- bits if a < b
+        d = ab.zip(bb).count { case (x, y) => x != y } if d <= 7
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"missed=${want.diff(got)} spurious=${got.diff(want)}")
+    } finally imgs.unpersist(blocking = true)
+  }
+
+  test("wide layout recovers every planted variant pair too") {
+    val pairs = SparkEntry.queries("q97_phash_wide")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Tables.t(spark, sf, "documents")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 45 = 0"))
+      .collect().map(_.getAs[Long]("doc_id"))
+      .map(d => (d * 2, d * 2 + 1)).toSet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(pairs),
+      s"missed planted pairs: ${planted.diff(pairs)}")
+  }
+
   test("every planted variant pair is recovered") {
     val pairs = SparkEntry.queries("q97_phash_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

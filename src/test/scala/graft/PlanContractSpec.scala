@@ -93,7 +93,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q90_hll_profile", "q90_distinct_exact", "q91_source_quota",
     "q92_heavy_hitters", "q92_hitters_exact", "q93_threshold_alerts",
     "q94_tpch_q21", "q95_incremental_dedup", "q96_hrw_shards",
-    "q97_phash_dedup", "q98_pq_codes", "q98_ann_pq", "q99_tpch_q2",
+    "q97_phash_dedup", "q97_phash_wide",
+    "q98_pq_codes", "q98_ann_pq", "q99_tpch_q2",
     "q100_notin_naaj", "q101_pca_power", "q101_pca_project",
     "q102_ann_ivfpq", "q103_tpch_q4", "q104_tpch_q6", "q105_tpch_q8",
     "q106_tpch_q9", "q107_tpch_q10", "q108_tpch_q11", "q109_tpch_q12",
