@@ -25,16 +25,51 @@ import org.apache.spark.sql.functions._
 object Ols {
 
   /** PUBLIC API — per-group OLS of y on x over (g, x, y) rows:
-    * (g, n, slope, intercept, r2), 9-dp rounded. */
-  def olsByGroup(base: DataFrame): DataFrame = {
+    * (g, n, slope, intercept, r2), 9-dp rounded.
+    *
+    * `pairedScales = Some((sx, sy))` switches the five moment sums to
+    * the paired-longs exact path (the q164 discipline,
+    * [[graft.Canon.psumAggs]]): x and y are each scaled ONCE to the
+    * longs x·10^sx / y·10^sy, every square and cross product is pure
+    * long arithmetic, and the sums aggregate as paired longs —
+    * bit-identical to the decimal accumulate when x (resp. y) is an
+    * exact multiple of 10^-sx (resp. 10^-sy) and |y²|·10^2sy < 2^63
+    * (the largest term; proven in PairedSumSpec). Row bound: the y²
+    * term's Σhi stays in a long up to ~2^63/(max y²·10^2sy/2^30) rows
+    * PER GROUP (8.6e9 rows for q147's magnitudes — ≈10 TB of lineitem
+    * per return flag). Past that, salt the group (paired-sum per
+    * (g, salt), decimal-combine the ≤1024 exact per-salt partials —
+    * exactness composes); default None keeps the decimal accumulate
+    * for arbitrary inputs. */
+  def olsByGroup(base: DataFrame,
+      pairedScales: Option[(Int, Int)] = None): DataFrame = {
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,12)")).cast("double")
-    base.groupBy(col("g"))
-      .agg(count(lit(1)).cast("double").as("n"),
-        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
-        dsum(col("x") * col("x")).as("sxx"),
-        dsum(col("y") * col("y")).as("syy"),
-        dsum(col("x") * col("y")).as("sxy"))
+    val moments = pairedScales match {
+      case Some((sx, sy)) =>
+        import graft.Canon.{psumAggs, psumDouble, pterm}
+        base.select(col("g"),
+            pterm(col("x"), sx).as("ux"), pterm(col("y"), sy).as("uy"))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            psumAggs(col("ux"), "sx") ++ psumAggs(col("uy"), "sy") ++
+              psumAggs(col("ux") * col("ux"), "sxx") ++
+              psumAggs(col("uy") * col("uy"), "syy") ++
+              psumAggs(col("ux") * col("uy"), "sxy"): _*)
+          .select(col("g"), col("n"),
+            psumDouble("sx", sx).as("sx"), psumDouble("sy", sy).as("sy"),
+            psumDouble("sxx", 2 * sx).as("sxx"),
+            psumDouble("syy", 2 * sy).as("syy"),
+            psumDouble("sxy", sx + sy).as("sxy"))
+      case None =>
+        base.groupBy(col("g"))
+          .agg(count(lit(1)).cast("double").as("n"),
+            dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+            dsum(col("x") * col("x")).as("sxx"),
+            dsum(col("y") * col("y")).as("syy"),
+            dsum(col("x") * col("y")).as("sxy"))
+    }
+    moments
       .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
       .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
@@ -55,10 +90,19 @@ object Ols {
     * (Round-10 premise repair: the fixture generates l_extendedprice
     * independently of l_quantity — unlike real TPC-H — so the r9
     * price~quantity regression measured noise; VERDICT r9 item 3.) */
+  // paired-longs bounds (pairedScales = (2, 4)): x = l_extendedprice is
+  // decimal(12,2) (exact at 2 dp ✓); y = x·(1−d) with d decimal(12,2)
+  // is exact at 4 dp, and pterm's HALF_UP 4-dp rounding of the double
+  // product recovers it exactly (double error ~1e-11 ≪ 5e-5 ✓). The
+  // largest term is y²·10^8 < (1.1e5)²·10^8 = 1.21e18 < 2^63 ✓; its
+  // per-group Σhi ≈ 1.13e9·rows bounds the group at ~8.6e9 rows (≈10 TB
+  // of lineitem per return flag — the salting remedy in the scaladoc
+  // covers the decade past that).
   private def q147(s: SparkSession, dir: String): DataFrame =
     olsByGroup(Tables.t(s, dir, "lineitem").select(
       col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
-      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y")))
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y")),
+      pairedScales = Some((2, 4)))
 
   private val q147Sql =
     """WITH b AS (

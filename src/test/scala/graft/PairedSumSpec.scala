@@ -113,4 +113,18 @@ class PairedSumSpec extends AnyFunSuite {
         Canon.psumDouble("s2", 14).as("s2"))
     bitEqual(paired.orderBy("dim"), dec.orderBy("dim"), "q121 moments")
   }
+
+  test("q147 operator: paired olsByGroup matches the decimal path on the " +
+      "registry input (y is exact at 4 dp, recovered from the double)") {
+    // the decimal path sums y's double-noise 12-dp cast while the
+    // paired path recovers the EXACT 4-dp product — sums differ below
+    // 1e-11 relative, so the 9-dp outputs must be identical
+    val base = Tables.t(spark, sf, "lineitem").select(
+      col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+    bitEqual(
+      operators.Ols.olsByGroup(base, pairedScales = Some((2, 4))),
+      operators.Ols.olsByGroup(base),
+      "olsByGroup lineitem net-vs-gross")
+  }
 }
