@@ -212,6 +212,30 @@ class DedupBoundsSpec extends AnyFunSuite {
     }
   }
 
+  test("combination blocking (keyBlocks=2) is lossless: combo pairs equal " +
+      "brute force and the single-band blocking exactly") {
+    import spark.implicits._
+    // the Manku C(b,2) compound-key probing must return the IDENTICAL
+    // pair set — same hash, same radius, only the blocking changes
+    val docs = (0 until 60).map { i =>
+      val base = s"shared prefix tokens ${i % 7} plus body ${i % 5} tail"
+      val text = if (i % 3 == 0) base else s"$base extra${i % 11}"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val single = pairSet(graft.operators.Dedup.simhashPairs(docs))
+    val combo = pairSet(graft.operators.Dedup.simhashPairs(docs, keyBlocks = 2))
+    assert(combo == single,
+      s"missed=${single.diff(combo)} extra=${combo.diff(single)}")
+    assert(single.nonEmpty, "combo law is vacuous")
+    // and through the salting path on hot buckets
+    val hot = ((0L until 80L).map(i => (i, "identical text for all")) :+
+      ((500L, "something else entirely unrelated here")))
+      .toDF("doc_id", "text")
+    val comboSalted = pairSet(graft.operators.Dedup.simhashPairs(
+      hot, maxBucket = 20, keyBlocks = 2))
+    assert(comboSalted.size == 80 * 79 / 2)
+  }
+
   test("simhashPairs salted path equals unsalted on degenerate hot-bucket data") {
     import spark.implicits._
     // 120 identical docs → one simhash → every band's bucket is hot

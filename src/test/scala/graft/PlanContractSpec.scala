@@ -67,7 +67,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q17_join_theta", "q18_window_rank", "q19_window_frame", "q20_topk",
     "q21_setops", "q22_scalar_funcs", "q23_array_funcs", "q23_json_funcs",
     "q26_dedup_exact", "q27_dedup_minhash", "q27_dedup_ngram",
-    "q28_dedup_simhash", "q28_simhash_wide", "q28_dedup_embed",
+    "q28_dedup_simhash", "q28_simhash_combo", "q28_simhash_wide",
+    "q28_dedup_embed",
     "q29_ann_brute",
     "q29_ann_lsh", "q29_ann_ivf", "q29_lsh_cands", "q29_lsh_scaled",
     "q29_ivf_cands",
