@@ -227,6 +227,16 @@ class DedupBoundsSpec extends AnyFunSuite {
     assert(combo == single,
       s"missed=${single.diff(combo)} extra=${combo.diff(single)}")
     assert(single.nonEmpty, "combo law is vacuous")
+    // the 495-probe election tier (12 bands × 5 bits, keyBlocks = 4)
+    // blocks the SAME 60-bit hash at the same radius — identical pairs
+    val tier3 = pairSet(graft.operators.Dedup.simhashPairs(docs,
+      nBands = 12, bandBits = 5, keyBlocks = 4))
+    assert(tier3 == single,
+      s"tier3 missed=${single.diff(tier3)} extra=${tier3.diff(single)}")
+    // election law: tiers move at the measured saturation points
+    assert(graft.operators.Dedup.electSimhashBlocking(500) == ((10, 6, 1)))
+    assert(graft.operators.Dedup.electSimhashBlocking(500000) == ((10, 6, 2)))
+    assert(graft.operators.Dedup.electSimhashBlocking(5000000) == ((12, 5, 4)))
     // and through the salting path on hot buckets
     val hot = ((0L until 80L).map(i => (i, "identical text for all")) :+
       ((500L, "something else entirely unrelated here")))
