@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: the simhash blocking-tier A/B behind the
+  * [[operators.Dedup.electSimhashBlocking]] boundary. For each tier it
+  * measures, from the hashes alone (no pair run needed):
+  *
+  *  - band rows shuffled = probes · n (tier 3's linear cost term), and
+  *  - candidate mass = Σ C(bucket, 2) over (probe, key) buckets (the
+  *    quadratic verify-stream term that saturating keys inflate),
+  *
+  * which together place the tier crossover with DATA where wall-clock
+  * runs are hours-class: tier 2 wall ≈ hash + mass·c_verify, tier 3
+  * wall ≈ hash + rows·c_shuffle, with the constants calibratable from
+  * the measured sf10 walls (r14k/l: 83.2 s tier 2, 337.9 s tier 3 at
+  * 5·10⁵ docs). Optionally times the full pair run per tier when
+  * `wall` is passed.
+  *
+  * `runMain graft.SimhashAb [wall]` over SPARK_GRAFT_SF_DIR.
+  */
+object SimhashAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.t(spark, sfDir, "documents")
+    val n = docs.count()
+    val sims = operators.Dedup.simhash(docs, 60).localCheckpoint()
+    for ((label, nBands, bandBits, keyBlocks) <-
+        Seq(("tier1", 10, 6, 1), ("tier2", 10, 6, 2), ("tier3", 12, 5, 4))) {
+      def bandVal(b: Int): String = {
+        val off = b * bandBits
+        s"((sh0 div ${1L << (off % 60)}) % ${1L << bandBits})"
+      }
+      val combos = (0 until nBands).combinations(keyBlocks).map(_.toSeq).toSeq
+      val keys = sims
+        .withColumn("arr", array((0 until nBands).map(b =>
+          expr(bandVal(b))): _*))
+        .select(posexplode(typedlit(combos)).as(Seq("band", "blocks")),
+          col("arr"))
+        .select(col("band"),
+          expr(s"aggregate(blocks, 0L, (acc, b) -> " +
+            s"acc * ${1L << bandBits} + element_at(arr, b + 1))").as("bk"))
+      val mass = keys.groupBy("band", "bk").count()
+        .agg(sum(expr("count * (count - 1) / 2")).cast("long"))
+        .head().getLong(0)
+      val rows = combos.size.toLong * n
+      val wall = if (args.contains("wall")) {
+        val t0 = System.nanoTime()
+        operators.Dedup.simhashPairs(docs, nBands = nBands,
+          bandBits = bandBits, keyBlocks = keyBlocks)
+          .write.format("noop").mode("overwrite").save()
+        f"${(System.nanoTime() - t0) / 1e9}%.1f"
+      } else "-"
+      println(s"SIMHASH_AB $label n=$n probes=${combos.size} " +
+        s"bandRows=$rows candidates=$mass wall=$wall s")
+    }
+    spark.stop()
+  }
+}

@@ -235,8 +235,8 @@ class DedupBoundsSpec extends AnyFunSuite {
       s"tier3 missed=${single.diff(tier3)} extra=${tier3.diff(single)}")
     // election law: tiers move at the measured saturation points
     assert(graft.operators.Dedup.electSimhashBlocking(500) == ((10, 6, 1)))
-    assert(graft.operators.Dedup.electSimhashBlocking(500000) == ((10, 6, 2)))
-    assert(graft.operators.Dedup.electSimhashBlocking(5000000) == ((12, 5, 4)))
+    assert(graft.operators.Dedup.electSimhashBlocking(5000000) == ((10, 6, 2)))
+    assert(graft.operators.Dedup.electSimhashBlocking(10000000) == ((12, 5, 4)))
     // and through the salting path on hot buckets
     val hot = ((0L until 80L).map(i => (i, "identical text for all")) :+
       ((500L, "something else entirely unrelated here")))
