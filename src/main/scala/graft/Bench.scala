@@ -170,11 +170,45 @@ object Bench {
     val adjJson = adjudicated.map { case (n, board, rerun) =>
       "\"" + n + s"""":[$board,$rerun]"""
     }.mkString("{", ",", "}")
+    // Locale.ROOT: f"$v%.3f" uses the JVM default locale — under a
+    // comma-decimal locale (de_DE) it emits "1,234", invalid JSON on
+    // exactly the lines added for driver parsing (ADVICE r10).
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // WINDOW STAMP (VERDICT r14 item 6): r14 burned a day hand-
+    // classifying container windows (216 vs 249 vs a rejected 282 s for
+    // identical code). Stamp the board with the anchor queries' ratio to
+    // their ledger baseline AT RUN TIME plus a machine verdict, so any
+    // consumer (BoardStats, the driver, a judge) can classify the window
+    // without re-deriving it. Anchors are the four stable scan/agg
+    // shapes the r14m hand-adjudication used (flat in the quiet run,
+    // 30-50% up in the rejected one); threshold 1.2 splits those two
+    // observed clusters. Ratios are only meaningful against the sf0.1
+    // ledger, so other SFs (and boards missing the anchors) stamp "n/a".
+    val anchorNames = Seq("q01_scan_filter", "q06_groupby_count",
+      "q07_tpch_q1", "q104_tpch_q6")
+    val anchorRatios: Seq[(String, Double)] =
+      if (!atLedgerSf) Seq.empty
+      else {
+        val bl = Baselines.parse()
+        val m = all.toMap
+        anchorNames.flatMap(n =>
+          for { v <- m.get(n) if v >= 0; b <- bl.get(n) } yield (n, v / b))
+      }
+    val window =
+      if (anchorRatios.size < 3) "n/a"
+      else {
+        val rs = anchorRatios.map(_._2).sorted
+        if (rs(rs.size / 2) <= 1.2) "quiet" else "noisy"
+      }
+    val anchorsJson = anchorRatios.map { case (k, v) =>
+      "\"" + k + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val streaming = streamDetail.toSeq.sortBy(_._1).map { case (k, (n, m)) =>
       "\"" + k + s"""":{"triggers":$n,"batch_median_sec":$m}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"adjudicated":$adjJson,"partitions":$partitions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"adjudicated":$adjJson,"anchors":$anchorsJson,"window":"$window","partitions":$partitions,"sf":"$sfDir"}"""
     println(line)
     // the COMPLETE machine-readable board (the driver artifact may
     // truncate long stdout): target/bench_board.json for tooling plus a
@@ -201,11 +235,6 @@ object Bench {
     // fails (BENCH_r08/r09 "parsed": null — VERDICT r9 item 6). Here:
     // totals + the slowest queries, ms precision, with an explicit
     // truncation count and a pointer to the tracked full board.
-    // Locale.ROOT: f"$v%.3f" uses the JVM default locale — under a
-    // comma-decimal locale (de_DE) it emits "1,234", invalid JSON on
-    // exactly the line added for driver parsing (ADVICE r10).
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val slowest = ok.sortBy(-_._2)
     val topN = slowest.take(20)
     val compactQs = topN.map { case (k, v) => "\"" + k + "\":" + ms(v) }
@@ -217,7 +246,7 @@ object Bench {
       "\"" + n + s"""":[${ms(b)},${ms(r)}]"""
     }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${ok.size},"queries_slowest":$compactQs,"queries_omitted":${ok.size - topN.size},"failed":$failed,"adjudicated":$compactAdj,"adjudicated_omitted":${adjudicated.size - adjTop.size},"full_board":"BENCH_BOARD.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${ok.size},"queries_slowest":$compactQs,"queries_omitted":${ok.size - topN.size},"failed":$failed,"adjudicated":$compactAdj,"adjudicated_omitted":${adjudicated.size - adjTop.size},"anchors":$anchorsJson,"window":"$window","full_board":"BENCH_BOARD.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev tool: the simhash blocking-tier A/B behind the
-  * [[operators.Dedup.electSimhashBlocking]] boundary. For each tier it
-  * measures, from the hashes alone (no pair run needed):
+  * [[operators.Dedup.electSimhashBlockingByMass]] boundary. For each
+  * tier it measures, from the hashes alone (no pair run needed):
   *
   *  - band rows shuffled = probes · n (tier 3's linear cost term), and
   *  - candidate mass = Σ C(bucket, 2) over (probe, key) buckets (the
@@ -63,6 +63,14 @@ object SimhashAb {
       println(s"SIMHASH_AB $label n=$n probes=${combos.size} " +
         s"bandRows=$rows candidates=$mass wall=$wall s")
     }
+    // what the production election would do here: the in-engine
+    // pre-pass (measured m1/m2, modeled m3) against this harness's
+    // EXACT per-tier masses above — divergence between the two is the
+    // Tier3MassRatio model error, ledgered per decade
+    val (n2, m1, m2) = operators.Dedup.measureSimhashMasses(sims)
+    val pick = operators.Dedup.electSimhashBlockingByMass(n2, m1, m2)
+    println(s"SIMHASH_ELECT n=$n2 m1=$m1 m2=$m2 " +
+      s"m3_model=${operators.Dedup.Tier3MassRatio * m2} elected=$pick")
     spark.stop()
   }
 }

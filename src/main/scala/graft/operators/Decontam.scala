@@ -148,19 +148,25 @@ object Decontam {
     * Output: one row per leaking val doc with its train-partner count
     * and closest hamming distance.
     *
-    * Scale: the pair stream comes from [[Dedup.simhashPairs]] (banded,
-    * bounded buckets — no all-pairs); the split is a pure function of
-    * doc_id evaluated map-side ON the pair rows, so no corpus-sized
-    * side table is ever joined or broadcast; the final agg is keyed by
-    * the (sparse) leaking-doc set. The sketch layout is a parameter;
-    * the registry entry runs the WIDE 96-bit/8×12-band layout
-    * (hamming ≤ 7) — r13e measured the 60-bit default's band
-    * saturation at 12.6x candidate growth per data decade, and the
-    * 4096-key bands defer that 64x (VERDICT r13 item 2). */
+    * Scale: the pair stream comes from the MASS-ELECTED 60-bit simhash
+    * blocking ([[Dedup.simhashPairsAuto]] — banded, bounded buckets, no
+    * all-pairs; VERDICT r14 item 1 folded the answer-invariant blocking
+    * election into this entry's pair source, replacing the r14b wide
+    * fixed layout: the election defers band saturation tier by tier
+    * with ZERO answer change, so one sketch contract — 60-bit,
+    * hamming ≤ 8 — serves every corpus size). A forced layout (the
+    * spec A/Bs, or the 96-bit wide sketch via [[Dedup.simhashPairs]]'s
+    * parameters) can be passed as `blocking = Some((nBands, bandBits,
+    * keyBlocks))`. The split is a pure function of doc_id evaluated
+    * map-side ON the pair rows, so no corpus-sized side table is ever
+    * joined or broadcast; the final agg is keyed by the (sparse)
+    * leaking-doc set. */
   def splitLeakage(docs: DataFrame, maxHamming: Int = 8,
-      nBands: Int = 10, bandBits: Int = 6): DataFrame =
-    Dedup.simhashPairs(docs, maxHamming = maxHamming, nBands = nBands,
-      bandBits = bandBits)
+      blocking: Option[(Int, Int, Int)] = None): DataFrame =
+    blocking.map { case (nBands, bandBits, keyBlocks) =>
+      Dedup.simhashPairs(docs, maxHamming = maxHamming, nBands = nBands,
+        bandBits = bandBits, keyBlocks = keyBlocks)
+    }.getOrElse(Dedup.simhashPairsAuto(docs, maxHamming = maxHamming))
       .withColumn("s1", expr(splitSql("d1")))
       .withColumn("s2", expr(splitSql("d2")))
       .where(col("s1") =!= col("s2"))
@@ -172,15 +178,14 @@ object Decontam {
       .orderBy(col("doc_id").asc_nulls_last)
 
   private def q82(s: SparkSession, dir: String): DataFrame =
-    splitLeakage(Tables.t(s, dir, "documents"), maxHamming = 7,
-      nBands = 8, bandBits = 12)
+    splitLeakage(Tables.t(s, dir, "documents"))
 
   private def duckSplitSql(idCol: String): String =
     s"CASE WHEN ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT " +
       s"% 10 < 8 THEN 'train' ELSE 'val' END"
 
   private val q82Sql =
-    s"""WITH ${Dedup.simhashWidePairsCte},
+    s"""WITH ${Dedup.simhashPairsCte},
        |leak AS (
        |  SELECT CASE WHEN ${duckSplitSql("d1")} = 'val' THEN d1 ELSE d2 END AS doc_id,
        |    hamming

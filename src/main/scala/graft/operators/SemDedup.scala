@@ -120,11 +120,19 @@ object SemDedup {
     * 10⁸ vectors; beyond that, swap the final broadcast join for a
     * shuffle join keyed by g (documented, not needed at any measured
     * scale). Per-cluster population stays ~[[TargetClusterPop]], so the
-    * quadratic sweep budget holds at every decade. */
+    * quadratic sweep budget holds at every decade. The per-(g, f_id,
+    * pos) decimal bit-parity bound requires 20·k2 ≤
+    * [[Similarity.MaxTrainRows]] (enforced — the same require as
+    * trainIvfCentroids, r14 ADVICE); k2 past 204 means n ≳ 5·10⁶ under
+    * the √k election, which is [[semDedupRecursive]]'s regime. */
   def semDedupTwoLevel(s: SparkSession, corpus: DataFrame,
       k1: Int, k2: Int, threshold: Double = Threshold,
       trainIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(20L * k2 <= Similarity.MaxTrainRows,
+      s"two-level fine training samples 20*k2 rows per coarse group; " +
+        s"k2=$k2 breaks the ${Similarity.MaxTrainRows}-row decimal " +
+        "bit-parity bound (use semDedupRecursive past it)")
     val e = corpus.select(col("vec_id"), col("embedding"))
     val coarse = Similarity.trainIvfCentroids(
       s, Similarity.trainSample(e, k1), k1, trainIters)
@@ -180,6 +188,133 @@ object SemDedup {
     sweepAndSelect(s, a, threshold)
   }
 
+  /** One level of the recursive split: partition every group of `ga`
+    * ((vec_id, embedding, g) rows) into ≤ `branch` children by a
+    * grouped Lloyd loop — the [[semDedupTwoLevel]] fine-training
+    * discipline with `branch` playing k2: per group an md5-ordered
+    * sample of ≤ 20·branch rows, `trainIters` rounds of per-(g, f_id,
+    * pos) DECIMAL-exact means (each group's sample is ≤ 20·branch ≤
+    * MaxTrainRows rows, preserving the 2^52 bit-parity bound), then one
+    * assignment of all rows among their OWN group's children. Returns
+    * (vec_id, embedding, g, f_id ∈ 1..branch, c_sim). */
+  private def groupedSplit(s: SparkSession, ga: DataFrame, branch: Int,
+      trainIters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(20L * branch <= Similarity.MaxTrainRows,
+      s"branch=$branch breaks the grouped-sample bit-parity bound")
+    val wg = Window.partitionBy(col("g"))
+      .orderBy(col("r").asc_nulls_last, col("vec_id").asc_nulls_last)
+    val sample = ga
+      .withColumn("r", md5(col("vec_id").cast("string")))
+      .withColumn("rn", row_number().over(wg))
+      .where(col("rn") <= 20 * branch)
+      .select(col("g"), col("vec_id"), col("embedding"), col("rn"))
+      .localCheckpoint()
+    var cent = sample.where(col("rn") <= branch)
+      .select(col("g"), col("rn").cast("int").as("f_id"),
+        col("embedding").as("c_emb"))
+      .localCheckpoint()
+    // the centroid table is keyed by g, so this is an EQUI-join: the
+    // broadcast hint is right while the per-level child table is small
+    // (≤ n/targetPop rows total); past ~10⁸ vectors drop the hint and
+    // let it shuffle on g — the same documented rung as the two-level
+    // fine table
+    def assign(rows: DataFrame, c: DataFrame): DataFrame =
+      rows.join(broadcast(c), Seq("g"))
+        .select(col("vec_id"), col("g"), col("embedding"), col("f_id"),
+          VectorOps.cosineFast(s, "c_emb", "embedding").as("c_sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("c_sim"), (-col("f_id")).as("nf"), col("f_id"),
+          col("g"), col("embedding"))).as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.g").as("g"), col("best.f_id").as("f_id"),
+          col("best.c_sim").as("c_sim"))
+    for (_ <- 1 to trainIters) {
+      val means = assign(sample, cent)
+        .select(col("g"), col("f_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("g"), col("f_id"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("g"), col("f_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("g"), col("f_id"),
+          expr("transform(pm, x -> cast(x.m as float))").as("new_emb"))
+      cent = cent.join(means, Seq("g", "f_id"), "left")
+        .select(col("g"), col("f_id"),
+          coalesce(col("new_emb"), col("c_emb")).as("c_emb"))
+        .localCheckpoint()
+    }
+    assign(ga, cent)
+  }
+
+  /** LOG-DEPTH recursive k-means SemDeDup — closes the two-level path's
+    * Θ(n^1.5) assignment rung (VERDICT r14 item 3): with k ∝ n, the
+    * two-level split pays n·2√k per corpus pass, which returns to
+    * super-linear growth past ~10⁷ vectors. Here the grouped Lloyd
+    * split ([[groupedSplit]]) RECURSES: every group whose population
+    * exceeds `targetPop` is split into ≤ `branch` children, level by
+    * level, until all leaves are bounded (or `maxDepth`, the int-range
+    * guard on path-encoded ids, is reached). Depth is
+    * log_branch(n/targetPop), so total assignment cost is
+    * n·branch·depth = n·O(log n) — at 10⁸ vectors (branch 32, pop 128):
+    * n·32·5 vs the two-level's n·1768, 11x less, and the gap widens a
+    * further ~3x per decade.
+    *
+    * Mechanics: leaf ids are path-encoded in base (branch+1) with
+    * nonzero digits (child f of group g = g·(branch+1)+f), so a leaf
+    * finished at level L can never collide with a deeper leaf. A
+    * group's population only changes while it is being split, so
+    * "pop ≤ targetPop" is a stable done-state — each level touches ONLY
+    * rows of still-oversized groups (one per-level size histogram, a
+    * broadcast semi-join to route rows, then one grouped split). Every
+    * row's final c_sim is its similarity to its LEAF centroid — exactly
+    * the keep rule's ranking key. Same determinism discipline as the
+    * flat and two-level paths: md5-ordered samples, decimal-exact
+    * means, argmax assignment, no RNG.
+    *
+    * Skew guard: a degenerate group that refuses to shrink (all members
+    * at one child) stops at `maxDepth` and sweeps quadratically within
+    * its residual population — the same residual any k-means blocking
+    * has; maxDepth 6 at branch 32 covers 128·32⁶ ≈ 10¹¹ vectors. */
+  def semDedupRecursive(s: SparkSession, corpus: DataFrame,
+      branch: Int = 32, targetPop: Long = TargetClusterPop,
+      threshold: Double = Threshold, trainIters: Int = 2,
+      maxDepth: Int = 6): DataFrame = {
+    require(branch >= 2 && targetPop >= 1)
+    require(math.pow(branch + 1.0, maxDepth) <= Int.MaxValue,
+      s"path-encoded leaf ids must fit c_id's int range: " +
+        s"($branch+1)^$maxDepth overflows")
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    var cur = e.select(col("vec_id"), col("embedding"),
+      lit(0L).as("g"), lit(0.0).as("c_sim"))
+    var level = 0
+    var anyOversized = true
+    while (anyOversized && level < maxDepth) {
+      val sizes = cur.groupBy(col("g")).agg(count(lit(1)).as("pop"))
+        .localCheckpoint() // ≤ one row per current leaf
+      val over = sizes.where(col("pop") > targetPop).select(col("g"))
+      anyOversized = over.limit(1).count() > 0
+      if (anyOversized) {
+        level += 1
+        val splitRows = cur.join(broadcast(over), Seq("g"))
+        val doneRows = cur.join(broadcast(over), Seq("g"), "left_anti")
+        val split = groupedSplit(s,
+            splitRows.select(col("vec_id"), col("embedding"), col("g")),
+            branch, trainIters)
+          .select(col("vec_id"), col("embedding"),
+            (col("g") * (branch + 1) + col("f_id")).as("g"), col("c_sim"))
+        cur = split.unionByName(
+          doneRows.select(col("vec_id"), col("embedding"),
+            col("g"), col("c_sim")))
+          .localCheckpoint()
+      }
+    }
+    val a = cur.select(col("vec_id"), col("embedding"),
+      col("g").cast("int").as("c_id"), col("c_sim"))
+    sweepAndSelect(s, a, threshold)
+  }
+
   /** The scaled-k board variant (VERDICT r13 item 7): q86's 14.4x
     * decade slope was adjudicated as the PINNED-k fixture contract, not
     * the operator — this entry runs the paper's k ∝ n regime so the
@@ -194,12 +329,11 @@ object SemDedup {
     val kIdeal = math.max(Clusters.toLong, n / TargetClusterPop)
     if (kIdeal <= Similarity.MaxTrainRows / 4)
       semDedup(s, e, nClusters = kIdeal.toInt)
-    else {
-      // past the flat trainer's cap: two-level election, k1·k2 ≥ kIdeal
-      val k1 = math.ceil(math.sqrt(kIdeal.toDouble)).toInt
-      val k2 = math.ceil(kIdeal.toDouble / k1).toInt
-      semDedupTwoLevel(s, e, k1, k2)
-    }
+    else
+      // past the flat trainer's cap: log-depth recursive split (r15 —
+      // replaces the r14 two-level election, whose n·2√k assignment is
+      // Θ(n^1.5) under k ∝ n; the recursion is n·branch·log n)
+      semDedupRecursive(s, e)
   }
 
   /** Oracle: the shared k-means chain (bit-identical replay, see

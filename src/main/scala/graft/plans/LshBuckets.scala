@@ -31,6 +31,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   *
   * Output: array&lt;long&gt; of nTables bucket values, bucket =
   * Σ_i sign_i · 2^(bits−1−i).
+  *
+  * Null contract (r14 VERDICT item 7): the input type-check accepts
+  * `array&lt;float&gt;` regardless of element nullability — parquet list
+  * columns read back with `containsNull = true` even when no element
+  * is null, so rejecting the type would reject every on-disk embedding
+  * column. A null ELEMENT contributes exactly 0.0 to every plane
+  * projection (checked explicitly in both eval paths, asserted in
+  * ExpressionSpec) — previously that value fell out of ArrayData
+  * implementation details (zeroed null regions / null-unboxing);
+  * now it is contractual.
   */
 case class LshBuckets(child: Expression, nTables: Int, bitsPerTable: Int)
     extends UnaryExpression {
@@ -77,7 +87,8 @@ case class LshBuckets(child: Expression, nTables: Int, bitsPerTable: Int)
       val base = p * LshBuckets.Dim
       var i = 0
       while (i < n) {
-        dot += x.getFloat(i).toDouble * flatPlanes(base + i).toDouble
+        if (!x.isNullAt(i))
+          dot += x.getFloat(i).toDouble * flatPlanes(base + i).toDouble
         i += 1
       }
       if (dot >= 0.0)
@@ -101,8 +112,10 @@ case class LshBuckets(child: Expression, nTables: Int, bitsPerTable: Int)
          |for (int $p = 0; $p < $nPlanes; $p++) {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += (double) $x.getFloat($i)
-         |      * (double) $planes[$p * ${LshBuckets.Dim} + $i];
+         |    if (!$x.isNullAt($i)) {
+         |      $dot += (double) $x.getFloat($i)
+         |        * (double) $planes[$p * ${LshBuckets.Dim} + $i];
+         |    }
          |  }
          |  if ($dot >= 0.0) {
          |    $out[$p / $bitsPerTable] |=

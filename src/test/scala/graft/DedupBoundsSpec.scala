@@ -233,10 +233,12 @@ class DedupBoundsSpec extends AnyFunSuite {
       nBands = 12, bandBits = 5, keyBlocks = 4))
     assert(tier3 == single,
       s"tier3 missed=${single.diff(tier3)} extra=${tier3.diff(single)}")
-    // election law: tiers move at the measured saturation points
-    assert(graft.operators.Dedup.electSimhashBlocking(500) == ((10, 6, 1)))
-    assert(graft.operators.Dedup.electSimhashBlocking(5000000) == ((10, 6, 2)))
-    assert(graft.operators.Dedup.electSimhashBlocking(10000000) == ((12, 5, 4)))
+    // the ELECTED path (the default registry entry since r15) returns
+    // the same answer as every forced tier — the election is invisible
+    // to the pair set, whatever tier the masses pick
+    val auto = pairSet(graft.operators.Dedup.simhashPairsAuto(docs))
+    assert(auto == single,
+      s"auto missed=${single.diff(auto)} extra=${auto.diff(single)}")
     // and through the salting path on hot buckets
     val hot = ((0L until 80L).map(i => (i, "identical text for all")) :+
       ((500L, "something else entirely unrelated here")))
@@ -244,6 +246,52 @@ class DedupBoundsSpec extends AnyFunSuite {
     val comboSalted = pairSet(graft.operators.Dedup.simhashPairs(
       hot, maxBucket = 20, keyBlocks = 2))
     assert(comboSalted.size == 80 * 79 / 2)
+  }
+
+  test("blocking election follows measured candidate mass, not corpus count") {
+    import spark.implicits._
+    val D = graft.operators.Dedup
+    // pinned against the r14o MEASURED masses (BASELINE.md): tier 2 at
+    // both measured decades; tier 3 once tier 2's measured mass
+    // outgrows the 495-probe linear term (masses at 1e7 extrapolated
+    // along the measured 58x/decade tier-2 curve)
+    assert(D.electSimhashBlockingByMass(500000L, 2.13e10, 2.62e9) == ((10, 6, 2)))
+    assert(D.electSimhashBlockingByMass(5000000L, 1.99e12, 1.53e11) == ((10, 6, 2)))
+    assert(D.electSimhashBlockingByMass(10000000L, 8.0e12, 6.0e11) == ((12, 5, 4)))
+
+    // 60 uniformly mixed bits from two 30-bit halves (an Int's sign
+    // extension must not leak constant high bands into the hash)
+    def mix(tag: String, i: Long, bits: Int): Long = {
+      val lo = scala.util.hashing.MurmurHash3.stringHash(s"a$tag$i").toLong & ((1L << 30) - 1)
+      val hi = scala.util.hashing.MurmurHash3.stringHash(s"b$tag$i").toLong & ((1L << 30) - 1)
+      ((hi << 30) | lo) & ((1L << bits) - 1)
+    }
+    // the mis-election the count rule shipped (r14l: n >= 2000 forced
+    // tier 2): a DIVERSE corpus keeps single bands far from birthday
+    // saturation at 2500 docs, so its measured mass elects tier 1 —
+    // the plan the fixture board measured 1.9x faster (r14m: 1.69 s
+    // single-band vs 3.17 s forced tier 2 at sf0.1)
+    val diverse = (0L until 2500L).map(i => (i, mix("d", i, 60), 0L))
+      .toDF("doc_id", "sh0", "sh1")
+    val (nd, m1d, m2d) = D.measureSimhashMasses(diverse)
+    assert(nd == 2500L, s"pre-pass row count $nd")
+    assert(D.electSimhashBlockingByMass(nd, m1d, m2d) == ((10, 6, 1)),
+      s"diverse corpus: m1=$m1d m2=$m2d")
+    // ...and the flip the count rule CANNOT see: the same corpus size
+    // with one crowded band (a planted template pattern pinning 6
+    // bits) saturates tier 1's quadratic while the 4096-key compound
+    // keys stay spread — the measured mass elects tier 2 at a count
+    // where the corpora are indistinguishable by n
+    val crowded = (0L until 12000L).map(i => (i, mix("c", i, 54) << 6, 0L))
+      .toDF("doc_id", "sh0", "sh1")
+    val diverse12k = (0L until 12000L).map(i => (i, mix("d", i, 60), 0L))
+      .toDF("doc_id", "sh0", "sh1")
+    val (nc, m1c, m2c) = D.measureSimhashMasses(crowded)
+    val (n12, m112, m212) = D.measureSimhashMasses(diverse12k)
+    assert(D.electSimhashBlockingByMass(nc, m1c, m2c) == ((10, 6, 2)),
+      s"crowded corpus: m1=$m1c m2=$m2c")
+    assert(D.electSimhashBlockingByMass(n12, m112, m212) == ((10, 6, 1)),
+      s"diverse corpus at the same n: m1=$m112 m2=$m212")
   }
 
   test("simhashPairs salted path equals unsalted on degenerate hot-bucket data") {

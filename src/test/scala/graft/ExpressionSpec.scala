@@ -172,6 +172,28 @@ class ExpressionSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [cdc_cuts"), s"no codegen span:\n$plan")
   }
 
+  test("lsh_buckets null-element and type contract") {
+    Graft.register(spark)
+    // a null ELEMENT contributes exactly 0.0 to every plane projection
+    // (r14 VERDICT item 7 — contractual, not an ArrayData accident), so
+    // a nullable-element array hashes identically to the zero-filled one
+    val withNull = spark.sql("SELECT lsh_buckets(array(cast(1.5 as float), " +
+      "cast(null as float), cast(-2.25 as float)), 8, 12) AS b")
+      .collect()(0).getSeq[Long](0)
+    val zeroed = spark.sql("SELECT lsh_buckets(array(cast(1.5 as float), " +
+      "cast(0.0 as float), cast(-2.25 as float)), 8, 12) AS b")
+      .collect()(0).getSeq[Long](0)
+    assert(withNull == zeroed)
+    // null INPUT yields null (UnaryExpression null-intolerance)
+    assert(spark.sql("SELECT lsh_buckets(cast(null as array<float>), 8, 12)")
+      .collect()(0).isNullAt(0))
+    // wrong element type is rejected at type-check, not at runtime
+    val err = intercept[Exception] {
+      spark.sql("SELECT lsh_buckets(array(1.0, 2.0), 8, 12)").collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     Graft.register(spark)
     val e = Tables.t(spark, sf, "embeddings").limit(10)

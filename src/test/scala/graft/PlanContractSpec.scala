@@ -41,7 +41,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * q160_containment & q163_containment_keep (strategy-election
   * df-histogram head()), the refined-quantile bracket family
   * (q150/q151/q152/q155 — bracket passes + localCheckpoints), and
-  * q29_ann_lsh/q29_lsh_scaled (bucket-width election count). A
+  * q29_ann_lsh/q29_lsh_scaled (bucket-width election count), and
+  * q28_dedup_simhash/q82_split_leakage (r15: the 60-bit hash is
+  * localCheckpointed and the per-tier candidate-mass histogram runs as
+  * a pre-pass, so the FINAL plan has scans=0 — the corpus is read once
+  * in the prejobs window and the blocking election is mass-measured). A
   * fact-sized pre-pass sneaking into any constructor now bumps its
   * prejobs count and fails the diff. (prejobs counts JOBS, not scans:
   * a localCheckpoint materialization and a 1-row head() both count 1 —

@@ -93,6 +93,45 @@ class SelectionSpec extends AnyFunSuite {
     assert(out == again, "two-level semdedup must be deterministic")
   }
 
+  test("recursive semdedup: keep rule, coverage, leaf bound, and " +
+      "determinism at a forced multi-level election") {
+    // the >10⁷-vector path (log-depth recursion, VERDICT r14 item 3)
+    // forced multi-level at fixture scale: branch 4, targetPop 16 over
+    // 2048 vectors needs ~4 levels, so the path-encoded ids, the
+    // per-level routing, and the leaf-centroid c_sim are all exercised
+    val emb = Tables.t(spark, sf, "embeddings")
+    val out = SemDedup.semDedupRecursive(spark, emb, branch = 4,
+        targetPop = 16, maxDepth = 8)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getBoolean(3)))).toMap
+    val n = emb.count()
+    assert(out.size.toLong == n, "every vector must get exactly one verdict")
+    val pops = out.values.groupBy(_._1).map(_._2.size)
+    assert(pops.max <= 16,
+      s"leaf population bound violated: max=${pops.max}")
+    assert(out.values.map(_._1).toSet.size > 4,
+      "multi-level recursion did not happen — only one split level")
+    val raw = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((_, members) <- out.groupBy(_._2._1);
+         Seq((x, _), (y, _)) <- members.toSeq.combinations(2)) {
+      if (cos(raw(x), raw(y)) > 0.45)
+        assert(!(out(x)._2 && out(y)._2),
+          s"near-dup pair ($x, $y) both kept in recursive sweep")
+    }
+    assert(out.values.exists(!_._2), "recursive sweep found no dups — vacuous")
+    val again = SemDedup.semDedupRecursive(spark, emb, branch = 4,
+        targetPop = 16, maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(3)))).toMap
+    assert(out == again, "recursive semdedup must be deterministic")
+  }
+
   // ---- Bigram LM (q87) ----
 
   test("bigram NLL matches the hand formula on a tiny fixture") {
