@@ -40,6 +40,11 @@ object GenScale {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset (e.g. "documents"
+    // for the simhash tier-3 horizon corpus — 2000 copies of ONE table
+    // instead of 30 GB of all ten)
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,10 +73,11 @@ object GenScale {
 
     def off(c: String) = (col(c) + col("cp") * Stride).as(c)
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[genscale] $name written")
-    }
+    def write(name: String, df: => DataFrame): Unit =
+      if (tables.isEmpty || tables.contains(name)) {
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[genscale] $name written")
+      }
 
     write("region", raw("region"))
     write("nation", raw("nation"))
