@@ -33,6 +33,15 @@ object SimhashAb {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.t(spark, sfDir, "documents")
     val n = docs.count()
+    // "sample3=K": measure tier 3's mass on K probes spread evenly
+    // across its 495 combos instead of all of them — Σ C(bucket,2) is
+    // additive over probes, so the per-probe masses ARE exact and the
+    // total is a sampled measurement with printed spread (needed past
+    // ~5·10⁶ docs, where the full 495·n histogram outgrows local disk;
+    // the r15 tier-3 horizon point at 10⁷ docs uses sample3=33)
+    val sample3: Int = args.collectFirst {
+      case a if a.startsWith("sample3=") => a.drop(8).toInt
+    }.getOrElse(0)
     val sims = operators.Dedup.simhash(docs, 60).localCheckpoint()
     for ((label, nBands, bandBits, keyBlocks) <-
         Seq(("tier1", 10, 6, 1), ("tier2", 10, 6, 2), ("tier3", 12, 5, 4))) {
@@ -40,7 +49,12 @@ object SimhashAb {
         val off = b * bandBits
         s"((sh0 div ${1L << (off % 60)}) % ${1L << bandBits})"
       }
-      val combos = (0 until nBands).combinations(keyBlocks).map(_.toSeq).toSeq
+      val all = (0 until nBands).combinations(keyBlocks).map(_.toSeq).toSeq
+      val combos =
+        if (label == "tier3" && sample3 > 0 && sample3 < all.size) {
+          val step = math.max(1, all.size / sample3)
+          all.zipWithIndex.collect { case (c, i) if i % step == 0 => c }
+        } else all
       val keys = sims
         .withColumn("arr", array((0 until nBands).map(b =>
           expr(bandVal(b))): _*))
@@ -49,9 +63,18 @@ object SimhashAb {
         .select(col("band"),
           expr(s"aggregate(blocks, 0L, (acc, b) -> " +
             s"acc * ${1L << bandBits} + element_at(arr, b + 1))").as("bk"))
-      val mass = keys.groupBy("band", "bk").count()
-        .agg(sum(expr("count * (count - 1) / 2")).cast("long"))
-        .head().getLong(0)
+      val perProbe = keys.groupBy("band", "bk").count()
+        .groupBy("band")
+        .agg(sum(expr("count * (count - 1) / 2")).cast("long").as("m"))
+        .collect().map(_.getLong(1))
+      val mass = perProbe.sum
+      if (combos.size < all.size) {
+        val scaled = mass.toDouble * all.size / combos.size
+        println(f"SIMHASH_AB $label SAMPLED probes=${combos.size}/${all.size} " +
+          f"massSampled=$mass scaled=$scaled%.3e " +
+          f"perProbe[min/med/max]=${perProbe.min}/" +
+          f"${perProbe.sorted.apply(perProbe.length / 2)}/${perProbe.max}")
+      }
       val rows = combos.size.toLong * n
       val wall = if (args.contains("wall")) {
         val t0 = System.nanoTime()
