@@ -74,12 +74,18 @@ object IoWallAb {
       require(p.waitFor() == 0, "drop_caches failed")
     }
 
+    // snappy_raw IS the generated corpus — no copy; optional env
+    // SPARK_GRAFT_IOWALL_VARIANTS limits the grid (a sorted rewrite of
+    // 600M rows is its own multi-minute job)
+    val sel = sys.env.get("SPARK_GRAFT_IOWALL_VARIANTS")
+      .map(_.split(",").map(_.trim).toSet)
     val variants = Seq(
-      ("snappy_raw", "snappy", false),
       ("zstd_raw", "zstd", false),
       ("snappy_sorted", "snappy", true),
       ("zstd_sorted", "zstd", true))
-    val dirs = variants.map { case (nm, c, s) => nm -> variant(nm, c, s) }
+    val dirs = ("snappy_raw" -> srcDir) +: variants
+      .filter { case (nm, _, _) => sel.forall(_.contains(nm)) }
+      .map { case (nm, c, s) => nm -> variant(nm, c, s) }
 
     for ((nm, dir) <- dirs; q <- Seq("q07_tpch_q1", "q104_tpch_q6")) {
       dropCaches()
