@@ -22,7 +22,37 @@ object Bench {
     // so slope adjudications can separate algorithm from protocol; both
     // readings are ledgered in BASELINE.md.
     val partitions = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", cpus)
+    // Scale-aware broadcast thresholds (r16, VERDICT r15 item 1): the
+    // sf10 TPC-H plans broadcast their filtered dims under Spark's
+    // default 10 MB threshold; at sf100 the same dims (part ~176 MB
+    // file-estimate, customer ~312 MB) cross it and q105/q106 fell to
+    // spilling sort-merge chains (r15h: 68x/93x second decade, REAL).
+    // The protocol at big SFs runs SPARK_DRIVER_MEM=48g, so the right
+    // knob is to scale the threshold with the corpus, keyed on the
+    // lineitem footprint: STATIC threshold uses Catalyst's file-size
+    // estimates (a filtered dim keeps its full-file estimate without
+    // CBO, so this is the conservative bound that decides BEFORE any
+    // fact shuffle is planned); the ADAPTIVE threshold applies AQE's
+    // MEASURED post-shuffle sizes and can go higher safely. Dims that
+    // even these miss are genuinely fact-sized and belong in a shuffle
+    // join. Env-overridable for A/Bs; "" disables the override pair.
+    val liBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    val (bcastStatic, bcastAdaptive) =
+      (sys.env.get("SPARK_GRAFT_BCAST"), sys.env.get("SPARK_GRAFT_BCAST_AQE")) match {
+        case (Some(s0), a) => (s0, a.getOrElse(s0))
+        case (None, a) =>
+          val s0 = if (liBytes > (8L << 30)) "384m"        // sf100 @ 48g
+            else if (liBytes > (512L << 20)) "64m"         // sf10
+            else "10m"                                  // Spark default
+          (s0, a.getOrElse(s0))
+      }
     val spark = SparkSession.builder()
+      .config("spark.sql.autoBroadcastJoinThreshold", bcastStatic)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcastAdaptive)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -208,7 +238,7 @@ object Bench {
       "\"" + k + s"""":{"triggers":$n,"batch_median_sec":$m}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"adjudicated":$adjJson,"anchors":$anchorsJson,"window":"$window","partitions":$partitions,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"adjudicated":$adjJson,"anchors":$anchorsJson,"window":"$window","partitions":$partitions,"bcast":"$bcastStatic","sf":"$sfDir"}"""
     println(line)
     // the COMPLETE machine-readable board (the driver artifact may
     // truncate long stdout): target/bench_board.json for tooling plus a

@@ -51,7 +51,7 @@ object BoardStats {
         if (w == "noisy")
           println("WARNING: board recorded in a noisy window — " +
             "compare against ledger baselines only, not round-over-round")
-      case _ => println("window=unstamped (pre-r15 board)")
+      case _ => println("window=unstamped board")
     }
   }
 }

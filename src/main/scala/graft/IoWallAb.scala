@@ -44,12 +44,18 @@ object IoWallAb {
     java.nio.file.Files.createDirectories(base)
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
 
-    /** Build variant dir (lineitem only) if absent; return its path. */
+    /** Build variant dir (lineitem only) if absent; return its path.
+      * ATOMIC (ADVICE r15): the rewrite lands in a `.tmp` sibling and
+      * renames into place only on success — a crash mid-write cannot
+      * leave a partial lineitem.parquet that a later run silently
+      * measures (wrong bytes AND wrong wall, one cold run per cell).
+      * A leftover `.tmp` from a crashed run is discarded and rebuilt. */
     def variant(name: String, codec: String, sorted: Boolean): String = {
       val dir = base.resolve(name)
       val out = dir.resolve("lineitem.parquet")
       if (!java.nio.file.Files.exists(out)) {
         java.nio.file.Files.createDirectories(dir)
+        val tmp = dir.resolve("lineitem.parquet.tmp")
         val df =
           if (sorted)
             // range-partition + within-partition sort: every row group
@@ -58,7 +64,11 @@ object IoWallAb {
               .sortWithinPartitions(col("l_shipdate"))
           else li
         df.write.mode("overwrite").option("compression", codec)
-          .parquet(out.toString)
+          .parquet(tmp.toString)
+        require(java.nio.file.Files.exists(tmp.resolve("_SUCCESS")),
+          s"variant $name write finished without _SUCCESS")
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       dir.toString
     }
@@ -87,13 +97,22 @@ object IoWallAb {
       .filter { case (nm, _, _) => sel.forall(_.contains(nm)) }
       .map { case (nm, c, s) => nm -> variant(nm, c, s) }
 
+    // ADVICE r15: one cold run per cell in a container with ±30% noisy
+    // windows can pin a wrong codec/layout conclusion — each cell now
+    // runs SPARK_GRAFT_IOWALL_RUNS cold repetitions (default 2, caches
+    // dropped before each) and prints every rep plus the min; the min
+    // is the honest cold-wall estimator under one-sided noise.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_IOWALL_RUNS", "2").toInt
     for ((nm, dir) <- dirs; q <- Seq("q07_tpch_q1", "q104_tpch_q6")) {
-      dropCaches()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      println(f"IO_WALL variant=$nm query=$q cold_s=$wall%.2f " +
+      val walls = (1 to reps).map { _ =>
+        dropCaches()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"IO_WALL variant=$nm query=$q cold_s=${walls.min}%.2f " +
+        f"runs=${walls.map(w => f"$w%.2f").mkString("/")} " +
         f"bytes=${bytesOf(dir) / 1e9}%.2f GB")
     }
     spark.stop()

@@ -83,17 +83,31 @@ object SimhashAb {
           .write.format("noop").mode("overwrite").save()
         f"${(System.nanoTime() - t0) / 1e9}%.1f"
       } else "-"
-      println(s"SIMHASH_AB $label n=$n probes=${combos.size} " +
-        s"bandRows=$rows candidates=$mass wall=$wall s")
+      // ADVICE r15: on a sampled run the standard machine-parsed line
+      // must not present the partial mass in the full-run field — the
+      // field is renamed (candidates_sampled=) and the SCALED estimate
+      // rides in the main line, so ledger transcription cannot mistake
+      // a 33-probe subset mass for the tier's full mass. The every-step
+      // combo subset is deterministic; if specific leading bands are
+      // crowded it can bias the estimate — the per-probe min/med/max
+      // spread printed above is the check (±3% at the r15j horizon).
+      if (combos.size < all.size) {
+        val scaled = mass.toDouble * all.size / combos.size
+        println(f"SIMHASH_AB $label n=$n probes=${combos.size}/${all.size} " +
+          f"bandRows=$rows candidates_sampled=$mass " +
+          f"candidates_scaled=$scaled%.4e wall=$wall s")
+      } else
+        println(s"SIMHASH_AB $label n=$n probes=${combos.size} " +
+          s"bandRows=$rows candidates=$mass wall=$wall s")
     }
     // what the production election would do here: the in-engine
     // pre-pass (measured m1/m2, modeled m3) against this harness's
     // EXACT per-tier masses above — divergence between the two is the
     // Tier3MassRatio model error, ledgered per decade
-    val (n2, m1, m2) = operators.Dedup.measureSimhashMasses(sims)
-    val pick = operators.Dedup.electSimhashBlockingByMass(n2, m1, m2)
+    val (n2, m1, m2, mDup) = operators.Dedup.measureSimhashMasses(sims)
+    val pick = operators.Dedup.electSimhashBlockingByMass(n2, m1, m2, mDup)
     println(s"SIMHASH_ELECT n=$n2 m1=$m1 m2=$m2 " +
-      s"m3_model=${operators.Dedup.Tier3MassRatio * m2} elected=$pick")
+      s"m3_model=${operators.Dedup.Tier3MassRatio * m2} m_dup=$mDup elected=$pick")
     spark.stop()
   }
 }

@@ -88,12 +88,22 @@ object StreamScaleAb {
       }
       val rows = ps.map(_.stateOperators.map(_.numRowsTotal).sum)
       if (rows.nonEmpty && rows.max > 0) {
+        // plateau verdict (ADVICE r15): tail_max / global max is 1.00
+        // for MONOTONIC GROWTH too (the last third always holds the
+        // global max), so the discriminating ratio is tail max over the
+        // max of the FIRST two-thirds — a plateau reads ≈ 1.00, while
+        // unbounded state reads the tail's continued growth (> 1) —
+        // plus the argmax batch index, which a plateau parks early-to-
+        // anywhere but growth pins to the final batch.
+        val head = rows.take(math.max(1, rows.length * 2 / 3))
         val tail = rows.drop(rows.length * 2 / 3)
         val walls = ps.map(p => Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue).getOrElse(0L)).sorted
+        val argmax = rows.indexOf(rows.max)
         println(f"STREAM_PLATEAU q=$name batches=${rows.length} " +
-          f"state_max=${rows.max} tail_max=${tail.max} " +
-          f"ratio=${tail.max.toDouble / rows.max}%.2f " +
+          f"state_max=${rows.max} tail_max=${if (tail.isEmpty) 0L else tail.max} " +
+          f"ratio_tail_vs_head=${(if (tail.isEmpty) 0L else tail.max).toDouble / head.max}%.2f " +
+          f"argmax_batch=$argmax/${rows.length - 1} " +
           f"batch_median_ms=${walls(walls.length / 2)}")
       }
     }

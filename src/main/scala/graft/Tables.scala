@@ -47,4 +47,31 @@ object Tables {
   /** Register all tables of a scale-factor dir as temp views. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** On-disk bytes of `$dir/$name.parquet` (file or directory of part
+    * files) — the cheap scale signal the size-conditional broadcast
+    * hints and Bench's threshold scaling key on. 0 when absent. */
+  def bytesOf(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** `broadcast(df)` only while the backing table's parquet footprint
+    * stays under `capBytes` (default 64 MB compressed ≈ a few hundred
+    * MB in-memory) — above it the hint is DROPPED, not honored at any
+    * size the way a bare `broadcast()` is, and the join is left to the
+    * optimizer: under Bench's scale-raised adaptive threshold AQE
+    * re-plans from MEASURED post-shuffle sizes, and a genuinely
+    * fact-sized dim falls back to a shuffle join instead of shipping
+    * hundreds of MB to every executor (VERDICT r15 item 1: the q105
+    * force-broadcast of a 10⁶-row supplier was honored regardless of
+    * size while the real melt sat in the unhinted chain). `df` may be
+    * a projection/filter of the table; sizing keys on the BASE table's
+    * footprint, the conservative upper bound. */
+  def broadcastIfUnder(spark: SparkSession, dir: String, name: String,
+      capBytes: Long = 64L << 20)(df: DataFrame): DataFrame =
+    if (bytesOf(spark, dir, name) <= capBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
 }

@@ -322,7 +322,8 @@ object Analytics {
       .withColumn("n_late", sum(col("late")).over(w))
       .where(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
     waiting
-      .join(broadcast(Tables.t(s, dir, "supplier")),
+      .join(Tables.broadcastIfUnder(s, dir, "supplier")(
+          Tables.t(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))

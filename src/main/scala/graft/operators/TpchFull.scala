@@ -94,9 +94,19 @@ object TpchFull {
     * shape: nation joins twice (customer side restricts the market,
     * supplier side tags the share numerator), and the share is a
     * conditional-over-total ratio per year. Both nation copies and
-    * region broadcast; the fact-side join tree shuffles only on the
-    * fact keys. p_type = 'ECONOMY' substitutes the official
-    * 'ECONOMY ANODIZED STEEL' (fixture p_type is single-word). */
+    * region broadcast unconditionally (fixed 25/5-row dims at every
+    * TPC-H scale); supplier — which GROWS with sf — broadcasts through
+    * the size-conditional hint (r16, VERDICT r15: a bare broadcast()
+    * is honored at ANY size, so at sf1000 it would ship a GB-scale
+    * build to every executor; past the cap the join is left to AQE's
+    * measured-size re-plan under Bench's scale-raised threshold). The
+    * unhinted part/orders/customer chain is the sf100 melt the
+    * threshold scaling exists for: statically-estimated file sizes put
+    * filtered part and customer under Bench's scaled static threshold
+    * (BHJ — the fact never shuffles for them), while orders exceeds
+    * it and keeps the one genuine fact shuffle. p_type = 'ECONOMY'
+    * substitutes the official 'ECONOMY ANODIZED STEEL' (fixture p_type
+    * is single-word). */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val supp = Tables.t(s, dir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey").as("s_nationkey_src"))
@@ -116,7 +126,8 @@ object TpchFull {
       .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
       .join(broadcast(Tables.t(s, dir, "region").where(col("r_name") === "AMERICA")),
         col("cn_region") === col("r_regionkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.broadcastIfUnder(s, dir, "supplier")(supp),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey_src") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(

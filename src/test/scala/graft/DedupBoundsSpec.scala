@@ -258,6 +258,13 @@ class DedupBoundsSpec extends AnyFunSuite {
     assert(D.electSimhashBlockingByMass(500000L, 2.13e10, 2.62e9) == ((10, 6, 2)))
     assert(D.electSimhashBlockingByMass(5000000L, 1.99e12, 1.53e11) == ((10, 6, 2)))
     assert(D.electSimhashBlockingByMass(10000000L, 8.0e12, 6.0e11) == ((12, 5, 4)))
+    // ADVICE r15: the duplicate floor. Same masses, but now measured as
+    // MOSTLY exact-duplicate pairs (mDup = m2/45 — every tier-2 probe's
+    // mass is dup collisions): tier 3 provably pays 495·mDup ≈ 6.6e12
+    // regardless of key-space crowding, so the election must NOT pick
+    // it on the 0.13·m2 model that ignores the floor.
+    assert(D.electSimhashBlockingByMass(10000000L, 8.0e12, 6.0e11,
+      mDup = 6.0e11 / 45) == ((10, 6, 2)))
 
     // 60 uniformly mixed bits from two 30-bit halves (an Int's sign
     // extension must not leak constant high bands into the hash)
@@ -273,7 +280,7 @@ class DedupBoundsSpec extends AnyFunSuite {
     // single-band vs 3.17 s forced tier 2 at sf0.1)
     val diverse = (0L until 2500L).map(i => (i, mix("d", i, 60), 0L))
       .toDF("doc_id", "sh0", "sh1")
-    val (nd, m1d, m2d) = D.measureSimhashMasses(diverse)
+    val (nd, m1d, m2d, _) = D.measureSimhashMasses(diverse)
     assert(nd == 2500L, s"pre-pass row count $nd")
     assert(D.electSimhashBlockingByMass(nd, m1d, m2d) == ((10, 6, 1)),
       s"diverse corpus: m1=$m1d m2=$m2d")
@@ -286,8 +293,8 @@ class DedupBoundsSpec extends AnyFunSuite {
       .toDF("doc_id", "sh0", "sh1")
     val diverse12k = (0L until 12000L).map(i => (i, mix("d", i, 60), 0L))
       .toDF("doc_id", "sh0", "sh1")
-    val (nc, m1c, m2c) = D.measureSimhashMasses(crowded)
-    val (n12, m112, m212) = D.measureSimhashMasses(diverse12k)
+    val (nc, m1c, m2c, _) = D.measureSimhashMasses(crowded)
+    val (n12, m112, m212, _) = D.measureSimhashMasses(diverse12k)
     assert(D.electSimhashBlockingByMass(nc, m1c, m2c) == ((10, 6, 2)),
       s"crowded corpus: m1=$m1c m2=$m2c")
     assert(D.electSimhashBlockingByMass(n12, m112, m212) == ((10, 6, 1)),
