@@ -45,14 +45,27 @@ object Bench {
       (sys.env.get("SPARK_GRAFT_BCAST"), sys.env.get("SPARK_GRAFT_BCAST_AQE")) match {
         case (Some(s0), a) => (s0, a.getOrElse(s0))
         case (None, a) =>
+          // static > adaptive is deliberate: the static threshold sees
+          // RAW file-size estimates while the adaptive one sees
+          // COMPRESSED post-shuffle bytes — a 450 MB zstd shuffle of
+          // narrow rows expanded to an 11.8 GiB in-memory relation in
+          // the r16 tail run (q21_setops hit Spark's hard 8 GiB
+          // broadcast cap; q27/q62 blew driver maxResultSize on the
+          // build collect). 128m compressed ≈ 1-2 GB built, safe.
           val s0 = if (liBytes > (8L << 30)) "384m"        // sf100 @ 48g
             else if (liBytes > (512L << 20)) "64m"         // sf10
             else "10m"                                  // Spark default
-          (s0, a.getOrElse(s0))
+          val a0 = if (liBytes > (8L << 30)) "128m" else s0
+          (s0, a.getOrElse(a0))
       }
     val spark = SparkSession.builder()
       .config("spark.sql.autoBroadcastJoinThreshold", bcastStatic)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcastAdaptive)
+      // broadcast builds collect to the driver as task results; the
+      // 1g default cancels legitimate 128-384m-threshold builds at
+      // sf100 (r16 tail: q27/q62). Bounded well under every driver
+      // heap the protocol uses (8g fixture / 48g scale runs).
+      .config("spark.driver.maxResultSize", "4g")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")

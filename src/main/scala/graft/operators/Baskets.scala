@@ -40,10 +40,17 @@ object Baskets {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
+    // r16: the item marginals are |items|-sized — bounded for q148
+    // (items = 25 brands) but UNBOUNDED for general callers of this
+    // public API (items = partkey ⇒ 2·10⁷ rows at sf100). Bare
+    // broadcast() is honored at any size (the q87 lesson), so the
+    // hints are gone: AQE broadcasts the marginals from MEASURED
+    // post-shuffle sizes whenever they genuinely fit — identical plan
+    // at fixture scale, shuffle-join fallback past it.
     pairs
-      .join(broadcast(marg.select(col("item").as("item_a"), col("n_item").as("n_a"))),
+      .join(marg.select(col("item").as("item_a"), col("n_item").as("n_a")),
         "item_a")
-      .join(broadcast(marg.select(col("item").as("item_b"), col("n_item").as("n_b"))),
+      .join(marg.select(col("item").as("item_b"), col("n_item").as("n_b")),
         "item_b")
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),

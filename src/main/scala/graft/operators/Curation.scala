@@ -57,9 +57,12 @@ object Curation {
   /** PUBLIC API — per-document mean negative log-likelihood under the
     * corpus's own unigram model: the perplexity-style fluency score
     * pipelines use to drop gibberish (CCNet-style filtering, Wenzek et
-    * al. 2020, via a unigram stand-in). Scale shape: the vocabulary
-    * frame (|vocab| rows) and the 1-row total broadcast; the corpus
-    * shuffles once, keyed by doc_id. Per-token NLL terms accumulate in
+    * al. 2020, via a unigram stand-in). Scale shape: the corpus
+    * shuffles once, keyed by doc_id; the 1-row total broadcasts
+    * unconditionally, but the vocabulary frame is NOT hinted (r16) —
+    * "vocab-sized" is unbounded on a replicated-vocab corpus (q87's
+    * hinted twin materialized 39.8 GiB at sf100), so AQE broadcasts
+    * it from measured size only while it genuinely fits. Per-token NLL terms accumulate in
     * DECIMAL(20,12) so the sum is order-independent (bit-exact vs the
     * oracle), divided and rounded at the end. */
   def unigramNll(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -71,7 +74,7 @@ object Curation {
       .select(col("tok"),
         (-log(col("c").cast("double") / col("n").cast("double")))
           .cast("decimal(20,12)").as("nll"))
-    tok.join(broadcast(nll), "tok")
+    tok.join(nll, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))

@@ -54,10 +54,17 @@ object NgramLm {
     val bgCounts = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
     val prefix = bg.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
     // conditional tokens (positions ≥ 2): shuffle join on the pair key —
-    // the bigram table is corpus-sized at scale, never broadcast
+    // the bigram table is corpus-sized at scale, never broadcast.
+    // r16: the prefix/uni marginals lost their bare broadcast() hints
+    // too — "vocabulary-sized" is NOT bounded (the sf100 corpus carries
+    // a 1000x-replicated vocab and the hinted build materialized
+    // 39.8 GiB, over Spark's hard 8 GiB cap — the r16 tail's q87
+    // failure). AQE broadcasts them from MEASURED sizes whenever they
+    // genuinely fit; past that they belong in the shuffle join they
+    // now fall back to. `total` stays hinted: 1 row by construction.
     val cond = bg.join(bgCounts, Seq("prev", "cur"))
-      .join(broadcast(prefix), Seq("prev"))
-      .join(broadcast(uni.withColumnRenamed("tok", "cur")), Seq("cur"))
+      .join(prefix, Seq("prev"))
+      .join(uni.withColumnRenamed("tok", "cur"), Seq("cur"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (-log(lit(lambda) * (col("cb").cast("double") / col("cp").cast("double"))
@@ -66,7 +73,7 @@ object NgramLm {
     // first token of every document: unigram-only
     val first = docs
       .select(col("doc_id"), element_at(split(col(textCol), " "), 1).as("tok"))
-      .join(broadcast(uni), Seq("tok"))
+      .join(uni, Seq("tok")) // vocab-sized: AQE decides (see above)
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (-log(col("cu").cast("double") / col("n").cast("double")))

@@ -486,7 +486,12 @@ object Relational {
     val l = t(s, dir, "lineitem")
     val p = t(s, dir, "part")
     val o = t(s, dir, "orders")
-    val j = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    // size-conditional hint (r16): part GROWS with sf — a bare
+    // broadcast() is honored at any size (120 MB on disk at sf100,
+    // ~GBs in memory at sf1000); past the cap AQE re-plans from
+    // measured sizes under Bench's scale-raised threshold.
+    val j = l.join(Tables.broadcastIfUnder(s, dir, "part")(p),
+        l("l_partkey") === p("p_partkey"))
       .join(o, l("l_orderkey") === o("o_orderkey"))
     val cols = Seq(
       upper(col("p_brand")).as("up_brand"),
