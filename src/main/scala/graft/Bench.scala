@@ -58,9 +58,25 @@ object Bench {
           val a0 = if (liBytes > (8L << 30)) "128m" else s0
           (s0, a.getOrElse(a0))
       }
+    // Static estimates are DISK bytes scaled by projected width, with
+    // fileCompressionFactor defaulting to 1.0 — but this corpus's
+    // parquet compresses 6-10x (orders: 12 B/row on disk vs ~120 B
+    // raw), so a single-column fact projection estimates absurdly low:
+    // q21's orders→o_custkey read 1.8 GB disk x (8/120 width) ≈ 130 MB
+    // < the 384m static threshold, statically broadcasting 150M keys
+    // into an 11.8 GiB relation that hit Spark's hard 8 GiB cap (the
+    // one r16f re-run still failing after the adaptive fix). Factor 6
+    // makes static estimates track RAW bytes: fact projections clear
+    // the threshold (orders ≈ 724 MB) while q105/q106's genuinely
+    // small filtered dims stay under it (part ≈ 40 MB projected,
+    // customer ≈ 50 MB) and keep their measured r16b broadcast wins.
+    // Scale-tier only: fixture boards keep Spark's default estimate
+    // (and their pinned plan contracts).
+    val fileCompression = if (liBytes > (8L << 30)) "6.0" else "1.0"
     val spark = SparkSession.builder()
       .config("spark.sql.autoBroadcastJoinThreshold", bcastStatic)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcastAdaptive)
+      .config("spark.sql.sources.fileCompressionFactor", fileCompression)
       // broadcast builds collect to the driver as task results; the
       // 1g default cancels legitimate 128-384m-threshold builds at
       // sf100 (r16 tail: q27/q62). Bounded well under every driver

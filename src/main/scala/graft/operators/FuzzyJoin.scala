@@ -196,10 +196,19 @@ object FuzzyJoin {
       .select(col("id_p"), col("id_i")).distinct()
       .observe("fuzzy_candidates", count(lit(1)).as("n_candidates"))
     // verify: join texts back by id (candidates are few; the heavy
-    // signature join above never carried text), then the banded DP
+    // signature join above never carried text), then the banded DP.
+    // r16: both verify joins are hinted shuffle-hash with cands as the
+    // build side — the text frames are corpus-sized BY CONSTRUCTION,
+    // and byte-threshold broadcast decisions are unsafe for them: the
+    // replicated-corpus text compresses ~30x, so an AQE side measured
+    // under the compressed threshold materialized a 4.3 GiB broadcast
+    // at sf100 (r16f: 93-task collect blew driver maxResultSize).
+    // Partition-wise hash build on the candidate pairs is the plan
+    // that holds at any scale.
     val t1 = base.select(col("doc_id").as("id_p"), col("text").as("text_l"))
     val t2 = base.select(col("doc_id").as("id_i"), col("text").as("text_r"))
-    cands.join(t1, "id_p").join(t2, "id_i")
+    cands.hint("shuffle_hash").join(t1, "id_p")
+      .hint("shuffle_hash").join(t2, "id_i")
       .withColumn("lev", levenshtein(col("text_l"), col("text_r"), k).cast("long"))
       .filter(col("lev") >= 0)
       .select(least(col("id_p"), col("id_i")).as("d1"),
