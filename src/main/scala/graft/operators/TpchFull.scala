@@ -118,9 +118,22 @@ object TpchFull {
       .cast("decimal(28,4)")
     Tables.t(s, dir, "part").where(col("p_type") === "ECONOMY")
       .join(Tables.t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
-      .join(Tables.t(s, dir, "orders")
-          .where(col("o_orderdate") >= ts("1995-01-01") &&
-            col("o_orderdate") <= ts("1996-12-31")),
+      // The date filter keeps ~2/7 of orders, and the surviving
+      // (orderkey, custkey, orderdate) side builds a ~2.6 GiB relation
+      // at sf100 — broadcasting it is what keeps the 600M-row fact
+      // from shuffling on orderkey (r16i A/B: 41.4 s hinted-equivalent
+      // vs 252.2 s SMJ, the single biggest q105 lever). AQE cannot be
+      // trusted to find this on its own at a threshold that is also
+      // safe for text-bearing frames (compressed-byte measures
+      // under-estimate text 20-40x), so the hint is explicit and
+      // size-conditional: past 3 GB of base-table footprint (~sf300)
+      // the build would crowd the 8 GiB relation cap and the join
+      // belongs back in the shuffle path (where bucketed co-location,
+      // TpchJoinAb's third rung, is the real 100-TB answer).
+      .join(Tables.broadcastIfUnder(s, dir, "orders", capBytes = 3L << 30)(
+          Tables.t(s, dir, "orders")
+            .where(col("o_orderdate") >= ts("1995-01-01") &&
+              col("o_orderdate") <= ts("1996-12-31"))),
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
