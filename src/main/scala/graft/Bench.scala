@@ -84,6 +84,21 @@ object Bench {
       .config("spark.driver.maxResultSize", "4g")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", partitions)
+      // AQE post-shuffle coalescing knobs, MEASURED r16 and pinned at
+      // Spark's defaults: parallelismFirst=false + a 64m advisory
+      // (the guide-§2.2 cluster recipe) was A/B'd at the bench SF and
+      // LOST — it coalesces every mid-size shuffle to one partition
+      // and serializes exactly the stages the fixture board is bound
+      // by (q166 7.5→10.8 s, q28 4.3→5.0 s in the JobStats profile),
+      // while the default parallelismFirst=true already coalesces
+      // KB-sized shuffles to single tasks via minPartitionSize. At the
+      // sf100 tier the default targets bytes/partitions ≈ 30 MB,
+      // inside the guide's band, so one setting serves every tier.
+      // Env-overridable so the A/B stays reproducible.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_PFIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -57,6 +57,64 @@ object Tables {
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
+  /** Post-read fan-out for unsplittable small inputs (optimization
+    * guide §2.5 "one huge unsplittable file … repartition immediately
+    * after the read"): the fixture tables are single-row-group parquet
+    * files, so a scan stage is ONE task regardless of core count, and
+    * everything Spark fuses into it — tokenize/explode/melt plus the
+    * partial aggregation of every text operator — runs serial (r16
+    * JobStats: q166's timed run was 14 s of task time across 15
+    * single-task stages; q28's 60-sum simhash aggregation 3.7 s in one
+    * task). Repartitioning right after the read unlocks the cores.
+    *
+    * Scale discipline: only fires while the table's on-disk footprint
+    * is at most `capBytes` (default 256 MB — an exchange of ≤ 256 MB
+    * compressed costs well under a second on every protocol tier) AND
+    * the scan would plan fewer splits than the session's parallelism.
+    * At sf10+ the fact tables cross the cap and the plan is untouched
+    * — the sf100 board shapes keep their measured slopes. With `keys`,
+    * partitioning is BY KEY, which downstream per-key aggregations
+    * satisfy as a clustered distribution (subset rule), so the
+    * repartition REPLACES the aggregation's own exchange instead of
+    * adding one — and it moves the compact un-exploded rows where the
+    * replaced exchange moved the exploded ones (§2.3: shuffle the
+    * light form). Keyless fan-out is round-robin for skew-free spread
+    * ahead of melt/explode stages whose aggregation keys don't exist
+    * until after the explode. */
+  def fanOut(spark: SparkSession, dir: String, name: String,
+      keys: org.apache.spark.sql.Column*)(df: DataFrame): DataFrame = {
+    val bytes = bytesOf(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    val maxSplit = 128L << 20 // spark.sql.files.maxPartitionBytes default
+    val plannedSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (bytes <= FanOutCapBytes && plannedSplits < p)
+      if (keys.isEmpty) df.repartition(p) else df.repartition(p, keys: _*)
+    else df
+  }
+
+  /** See [[fanOut]]. */
+  val FanOutCapBytes: Long = 256L << 20
+
+  /** [[fanOut]] + ONE eager localCheckpoint — for multi-scan iterative
+    * consumers (the refined-quantile family re-reads its base 4-9
+    * times: range init + one scan per bracket pass). A fan-out alone
+    * made those WORSE (r16 board: q150 5.4→12.2 s quiet re-run —
+    * every scan re-executed the repartition exchange, and this
+    * container's per-task overhead is high); pinning pays the parallel
+    * scan once and every later pass reads the cached 32-way blocks.
+    * Size discipline as [[fanOut]]: past the cap nothing is
+    * repartitioned or cached — a 100 TB base is never pinned, the
+    * passes stay plain scans with native split parallelism. The
+    * checkpoint lives inside the timed query (constructed fresh per
+    * execution — no cross-run reuse). */
+  def pinSmall(spark: SparkSession, dir: String, name: String,
+      keys: org.apache.spark.sql.Column*)(df: DataFrame): DataFrame = {
+    val bytes = bytesOf(spark, dir, name)
+    if (bytes <= FanOutCapBytes)
+      fanOut(spark, dir, name, keys: _*)(df).localCheckpoint()
+    else df
+  }
+
   /** `broadcast(df)` only while the backing table's parquet footprint
     * stays under `capBytes` (default 64 MB compressed ≈ a few hundred
     * MB in-memory) — above it the hint is DROPPED, not honored at any

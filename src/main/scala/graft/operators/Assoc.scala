@@ -416,7 +416,10 @@ object Assoc {
     * feature-selection question actually asks about. */
   private def q166(s: SparkSession, dir: String): DataFrame =
     spearman(
-      Tables.t(s, dir, "lineitem").select(
+      // keyless fan-out: the melt's aggregation keys (name, v) only
+      // exist after the explode, so round-robin spread is the one that
+      // parallelizes the melt itself (Tables.fanOut scale discipline)
+      Tables.fanOut(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")).select(
         col("l_returnflag").as("g"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax")),
       q164Cols)

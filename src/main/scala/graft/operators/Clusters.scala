@@ -55,6 +55,15 @@ object Clusters {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
+    // r16 job-count pass (local path): LAZY localCheckpoint per round
+    // with the convergence check as the materializing action — the
+    // full-scan max(chg) aggregate computes every partition, so the
+    // lazy checkpoint finalizes inside the SAME job and each round
+    // costs one driver job where eager-checkpoint-then-count paid two.
+    // The reliable-checkpoint path keeps its eager materialization
+    // (checkpoint() semantics differ; that path is the 100 TB
+    // hardening, not the fixture hot path).
+    val lazyLocal = checkpointDir.isEmpty
     val mat: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         edges.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -73,12 +82,16 @@ object Clusters {
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("nbr_lbl"))
-      val next = mat(labels
+      val nextRaw = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (col("nbr_lbl") < col("lbl")).as("chg")))
-      converged = next.where(col("chg")).limit(1).count() == 0
+          (col("nbr_lbl") < col("lbl")).as("chg"))
+      val next =
+        if (lazyLocal) nextRaw.localCheckpoint(false) else mat(nextRaw)
+      converged = !next
+        .agg(coalesce(max(col("chg")), lit(false)).as("any"))
+        .head().getBoolean(0)
       labels = next.drop("chg")
       iter += 1
     }
@@ -94,7 +107,10 @@ object Clusters {
     * (min-id) member. The fixture contains a planted triangle
     * {45, 267, 413} that only a transitive clustering collapses. */
   private def q55(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.t(s, dir, "documents")
+    // doc_id fan-out: parallel shingle explode, exchange count unchanged
+    // (Tables.fanOut — no-op past the 256 MB cap)
+    val docs = Tables.fanOut(s, dir, "documents", col("doc_id"))(
+      Tables.t(s, dir, "documents"))
     val edges = Dedup.ngramJaccardPairs(docs, 0.5)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val cc = connectedComponents(edges)
@@ -167,7 +183,8 @@ object Clusters {
   }
 
   private def q163(s: SparkSession, dir: String): DataFrame =
-    containmentKeep(Tables.t(s, dir, "documents"))
+    containmentKeep(Tables.fanOut(s, dir, "documents", col("doc_id"))(
+      Tables.t(s, dir, "documents")))
 
   /** Independent oracle: exact string-shingle containment edges (with
     * the engine's dfCap mirrored via the shared

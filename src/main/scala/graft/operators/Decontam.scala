@@ -178,7 +178,8 @@ object Decontam {
       .orderBy(col("doc_id").asc_nulls_last)
 
   private def q82(s: SparkSession, dir: String): DataFrame =
-    splitLeakage(Tables.t(s, dir, "documents"))
+    splitLeakage(Tables.fanOut(s, dir, "documents", col("doc_id"))(
+      Tables.t(s, dir, "documents")))
 
   private def duckSplitSql(idCol: String): String =
     s"CASE WHEN ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT " +

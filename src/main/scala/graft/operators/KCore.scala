@@ -39,11 +39,17 @@ object KCore {
     * layers); the per-round count is one cheap job over the
     * checkpointed frame, the same materialization q133 already pays. */
   def kcoreEdges(edges: DataFrame, k: Int, rounds: Int = 1000): DataFrame = {
+    // r16 job-count pass: LAZY localCheckpoint + the convergence count
+    // as the materializing action — one driver job per round where
+    // eager-checkpoint-then-count paid two. (A lazy local checkpoint is
+    // finalized by the first job that computes the frame; Spark
+    // recomputes any partition that job skipped, and count() skips
+    // none.)
     var und = edges
       .select(least(col("src"), col("dst")).cast("long").as("u"),
         greatest(col("src"), col("dst")).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var prev = und.count()
     var stable = false
     var r = 0
@@ -56,7 +62,7 @@ object KCore {
         .join(deg.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(deg.select(col("id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cur = und.count()
       stable = cur == prev
       prev = cur
@@ -89,11 +95,16 @@ object KCore {
         .join(deg.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(deg.select(col("id").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
-      val nEdges = und.count()
-      val nNodes = und.select(col("u").as("id"))
-        .unionAll(und.select(col("v").as("id"))).distinct().count()
-      traj += ((r, nNodes, nEdges))
+        .localCheckpoint(false)
+      // r16 job-count pass: ONE action per round — the endpoint explode
+      // counts nodes (distinct) and edges (rows/2, exact: every u<v
+      // edge contributes exactly two endpoint rows) while the same job
+      // finalizes the round's lazy checkpoint. Was 3 jobs per round
+      // (eager checkpoint + edge count + node distinct-count).
+      val row = und.select(explode(array(col("u"), col("v"))).as("id"))
+        .agg(count_distinct(col("id")).as("n_nodes"),
+          count(lit(1)).as("rows2")).head()
+      traj += ((r, row.getLong(0), row.getLong(1) / 2))
     }
     import s.implicits._
     traj.toSeq.toDF("round", "n_nodes", "n_edges")

@@ -91,6 +91,10 @@ object Pq {
       .withColumn("c_id", row_number().over(wSeed).cast("int"))
       .select(col("c_id"), col("vec_id"))
     val sampSubs = subVecs(samp).localCheckpoint()
+    // (r16 note: removing the per-round checkpoints was TRIED and
+    // reverted — the un-cut doubled lineage made AQE materialize MORE
+    // stage-jobs than the checkpoints cost: q98 prejobs 15→18 in the
+    // contract regen. The per-round cut is the cheaper shape.)
     var cb = sampSubs.join(seeds, "vec_id")
       .select(col("sub"), col("c_id"), col("svec").as("c_emb"))
       .localCheckpoint()

@@ -205,13 +205,19 @@ object RobustStats {
       .withColumn("c_lo", lit(0L))
       .localCheckpoint()
     for (k <- 1 to passes) {
+      // r16 job-count pass: the bracket columns are functionally
+      // determined by g, so GROUPING by them alongside (g, bin) leaves
+      // the aggregate unchanged and removes the second broadcast join
+      // (and its per-pass broadcast-build job) the old plan used to
+      // re-attach them after the histogram.
+      val brCols = br.columns.filterNot(_ == "g").map(col).toSeq
       val win = base.join(broadcast(br), Seq("g"))
         .where(member(k))
         .withColumn("bin", binAt(k))
-        .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+        .groupBy(Seq(col("g"), col("bin")) ++ brCols: _*)
+        .agg(count(lit(1)).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(wc))
         .withColumn("cum_before", col("cum") - col("cnt"))
-        .join(broadcast(br), Seq("g"))
         .where(col("c_lo") + col("cum") >= col("t"))
         .withColumn("rk", row_number().over(wc))
         .where(col("rk") === 1)
@@ -280,13 +286,16 @@ object RobustStats {
       .withColumn("c_lo", lit(0.0))
       .localCheckpoint()
     for (k <- 1 to passes) {
+      // bracket columns grouped through the histogram — same rationale
+      // as refinedQuantile's r16 job-count pass above
+      val brCols = br.columns.filterNot(_ == "g").map(col).toSeq
       val win = base.join(broadcast(br), Seq("g"))
         .where(member(k))
         .withColumn("bin", binAt(k))
-        .groupBy(col("g"), col("bin")).agg(sum(col("wt")).as("cnt"))
+        .groupBy(Seq(col("g"), col("bin")) ++ brCols: _*)
+        .agg(sum(col("wt")).as("cnt"))
         .withColumn("cum", sum(col("cnt")).over(wc))
         .withColumn("cum_before", col("cum") - col("cnt"))
-        .join(broadcast(br), Seq("g"))
         .where(col("c_lo") + col("cum") >= col("t"))
         .withColumn("rk", row_number().over(wc))
         .where(col("rk") === 1)
@@ -378,9 +387,10 @@ object RobustStats {
     * chain bit-exact across engines (see
     * [[weightedRefinedQuantile]]'s determinism contract). */
   private def q161(s: SparkSession, dir: String): DataFrame =
-    weightedRefinedQuantile(Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
-        col("l_quantity").as("wt")), 0.5)
+    weightedRefinedQuantile(
+      Tables.pinSmall(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
+          col("l_quantity").as("wt"))), 0.5)
       .select(col("g"), round(col("q_est"), 6).as("wmedian"))
       .orderBy(col("g").asc_nulls_last)
 
@@ -460,8 +470,9 @@ object RobustStats {
     * per return flag. Two group-keyed passes (range, then counts) and a
     * bins-sized frame thereafter. */
   private def q123(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val base = Tables.pinSmall(s, dir, "lineitem")(
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
     sketchQuantiles(s, cumHist(base), Seq(0.5, 0.9, 0.99))
       .select(col("g"), col("q"), round(col("q_est"), 6).as("q_est"))
       .orderBy(col("g").asc_nulls_last, col("q").asc_nulls_last)
@@ -510,8 +521,9 @@ object RobustStats {
         min(when(col("q") === 0.95, col("q_est"))).as("p_hi"))
 
   private def q124(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val base = Tables.pinSmall(s, dir, "lineitem")(
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
     base.join(broadcast(winsorizeSketchCaps(s, base)), Seq("g"))
       .withColumn("capped",
         when(col("x") < col("p_lo"), col("p_lo"))
@@ -589,8 +601,9 @@ object RobustStats {
     * ≈10% of each group in every decile; the deviation is the sketch
     * error, itself deterministic and oracle-replayed exactly). */
   private def q126(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val base = Tables.pinSmall(s, dir, "lineitem")(
+      Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
     quantileTransformSketch(s, base)
       .withColumn("decile",
         least(floor(col("pr") * 10).cast("int"), lit(9)))
@@ -805,8 +818,9 @@ object RobustStats {
   // Σhi < (1.1e7/2^30)·rows ≈ 0.011·rows; the scale-6 winsorized term
   // is < 1.1e11 with Σhi < 103·rows — both safe past 10^13 rows
   private def q152(s: SparkSession, dir: String): DataFrame =
-    profile(s, Tables.t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")),
+    profile(s,
+      Tables.pinSmall(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))),
       pairedScale = Some(2))
 
   /** SQL twin of [[profile]] over an arbitrary (g, x) base SELECT —
@@ -946,7 +960,11 @@ object RobustStats {
   // same bounds as q152: all four melted measures are decimal(12,2)
   // cast to exact 2-dp doubles < 1.1e5
   private def q155(s: SparkSession, dir: String): DataFrame =
-    profileTable(s, Tables.t(s, dir, "lineitem"), col("l_returnflag"),
+    profileTable(s,
+      Tables.pinSmall(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_discount"),
+          col("l_extendedprice"), col("l_quantity"), col("l_tax"))),
+      col("l_returnflag"),
       Seq("discount" -> col("l_discount"),
         "price" -> col("l_extendedprice"),
         "quantity" -> col("l_quantity"),

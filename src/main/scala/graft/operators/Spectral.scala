@@ -43,11 +43,22 @@ object Spectral {
     * md5-smallest SampleN rows. */
   def topComponent(s: SparkSession, sample: DataFrame,
       iters: Int = Iters): DataFrame = {
-    val samp = sample.select(col("vec_id"), col("embedding")).localCheckpoint()
+    require(iters >= 1, "power iteration needs at least one round")
+    // lazy localCheckpoint: the count() right below materializes it —
+    // one job where eager-checkpoint-then-count paid two (r16)
+    val samp = sample.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(false)
     val n = samp.count() // driver scalar, like pageRank's node count
+    // repartition by vec_id BEFORE the checkpoint (r16): the sample
+    // arrives as a single partition (orderBy+limit collapses to one),
+    // so the d² covariance self-join below — 4.1M pair rows at
+    // SampleN=1000 — otherwise runs as ONE task. vec_id partitioning is
+    // exactly the join key, so the join itself needs no exchange; sums
+    // are DECIMAL (order-independent), bit-identical either way.
     val elems = samp
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .localCheckpoint()
     val mu = elems.groupBy(col("pos"))
       .agg((sum(col("x").cast("decimal(28,12)")).cast("double") / n).as("mu"))
@@ -59,23 +70,30 @@ object Spectral {
       .groupBy(col("i"), col("j"))
       .agg((sum(col("t")).cast("double") / (n - 1)).as("c"))
       .localCheckpoint()
+    // r16 job-count fix: the loop used to localCheckpoint v AND collect
+    // nrm.head() EVERY iteration (2 driver actions × iters) although
+    // only the FINAL norm is reported — with cov checkpointed the whole
+    // power chain is a small lazy plan (64-row frames, linear lineage),
+    // so the fit now runs as ONE job instead of 2·iters+1. Arithmetic
+    // is unchanged expression-for-expression (same rounds, same
+    // rounding points); the eigenvalue rides as a crossJoined column of
+    // the final frame instead of a driver scalar.
     var v = s.range(Dim).select(col("id").cast("int").as("pos"),
       lit(1.0 / 8).as("loading")) // 1/8 = exact binary, |v|=1 at dim 64
-    var eig = lit(0.0)
+    var nrm = v.limit(0).select(lit(0.0).as("nrm")) // replaced each round
     for (_ <- 1 to iters) {
       val w = cov.join(v.withColumnRenamed("pos", "j"), Seq("j"))
         .select(col("i"), (col("c") * col("loading")).cast("decimal(28,12)").as("t"))
         .groupBy(col("i"))
         .agg(round(sum(col("t")).cast("double"), 12).as("w"))
-      val nrm = w.select(
+      nrm = w.select(
         sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double"))
           .as("nrm"))
       v = w.join(broadcast(nrm), lit(true))
         .select(col("i").as("pos"), round(col("w") / col("nrm"), 12).as("loading"))
-        .localCheckpoint()
-      eig = round(lit(nrm.head().getDouble(0)), 9)
     }
-    v.select(col("pos"), col("loading"), eig.as("eig"))
+    v.join(broadcast(nrm.select(round(col("nrm"), 9).as("eig"))), lit(true))
+      .select(col("pos"), col("loading"), col("eig"))
       .orderBy(col("pos").asc_nulls_last)
   }
 
