@@ -22,66 +22,17 @@ object Bench {
     // so slope adjudications can separate algorithm from protocol; both
     // readings are ledgered in BASELINE.md.
     val partitions = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", cpus)
-    // Scale-aware broadcast thresholds (r16, VERDICT r15 item 1): the
-    // sf10 TPC-H plans broadcast their filtered dims under Spark's
-    // default 10 MB threshold; at sf100 the same dims (part ~176 MB
-    // file-estimate, customer ~312 MB) cross it and q105/q106 fell to
-    // spilling sort-merge chains (r15h: 68x/93x second decade, REAL).
-    // The protocol at big SFs runs SPARK_DRIVER_MEM=48g, so the right
-    // knob is to scale the threshold with the corpus, keyed on the
-    // lineitem footprint: STATIC threshold uses Catalyst's file-size
-    // estimates (a filtered dim keeps its full-file estimate without
-    // CBO, so this is the conservative bound that decides BEFORE any
-    // fact shuffle is planned); the ADAPTIVE threshold applies AQE's
-    // MEASURED post-shuffle sizes and can go higher safely. Dims that
-    // even these miss are genuinely fact-sized and belong in a shuffle
-    // join. Env-overridable for A/Bs; "" disables the override pair.
-    val liBytes = {
-      val p = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-    }
-    val (bcastStatic, bcastAdaptive) =
-      (sys.env.get("SPARK_GRAFT_BCAST"), sys.env.get("SPARK_GRAFT_BCAST_AQE")) match {
-        case (Some(s0), a) => (s0, a.getOrElse(s0))
-        case (None, a) =>
-          // static > adaptive is deliberate: the static threshold sees
-          // RAW file-size estimates while the adaptive one sees
-          // COMPRESSED post-shuffle bytes — a 450 MB zstd shuffle of
-          // narrow rows expanded to an 11.8 GiB in-memory relation in
-          // the r16 tail run (q21_setops hit Spark's hard 8 GiB
-          // broadcast cap; q27/q62 blew driver maxResultSize on the
-          // build collect). 128m compressed ≈ 1-2 GB built, safe.
-          val s0 = if (liBytes > (8L << 30)) "384m"        // sf100 @ 48g
-            else if (liBytes > (512L << 20)) "64m"         // sf10
-            else "10m"                                  // Spark default
-          val a0 = if (liBytes > (8L << 30)) "128m" else s0
-          (s0, a.getOrElse(a0))
-      }
-    // Static estimates are DISK bytes scaled by projected width, with
-    // fileCompressionFactor defaulting to 1.0 — but this corpus's
-    // parquet compresses 6-10x (orders: 12 B/row on disk vs ~120 B
-    // raw), so a single-column fact projection estimates absurdly low:
-    // q21's orders→o_custkey read 1.8 GB disk x (8/120 width) ≈ 130 MB
-    // < the 384m static threshold, statically broadcasting 150M keys
-    // into an 11.8 GiB relation that hit Spark's hard 8 GiB cap (the
-    // one r16f re-run still failing after the adaptive fix). Factor 6
-    // makes static estimates track RAW bytes: fact projections clear
-    // the threshold (orders ≈ 724 MB) while q105/q106's genuinely
-    // small filtered dims stay under it (part ≈ 40 MB projected,
-    // customer ≈ 50 MB) and keep their measured r16b broadcast wins.
-    // Scale-tier only: fixture boards keep Spark's default estimate
-    // (and their pinned plan contracts).
-    val fileCompression = if (liBytes > (8L << 30)) "6.0" else "1.0"
-    val spark = SparkSession.builder()
-      .config("spark.sql.autoBroadcastJoinThreshold", bcastStatic)
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcastAdaptive)
-      .config("spark.sql.sources.fileCompressionFactor", fileCompression)
-      // broadcast builds collect to the driver as task results; the
-      // 1g default cancels legitimate 128-384m-threshold builds at
-      // sf100 (r16 tail: q27/q62). Bounded well under every driver
-      // heap the protocol uses (8g fixture / 48g scale runs).
-      .config("spark.driver.maxResultSize", "4g")
+    // Scale-tier session confs (broadcast thresholds, compression-
+    // factor estimate correction, maxResultSize) are LIBRARY defaults:
+    // graft.SessionDefaults derives them from the corpus footprint
+    // (VERDICT r16 item 4 — the engine owns its deployment confs, the
+    // bench merely consumes them). Env-overridable for A/Bs via
+    // SPARK_GRAFT_BCAST / SPARK_GRAFT_BCAST_AQE, resolved inside
+    // SessionDefaults.forDir; SessionDefaultsSpec pins the per-tier
+    // values and the override semantics.
+    val tier = SessionDefaults.forDir(sfDir)
+    val bcastStatic = tier.bcastStatic
+    val spark = SessionDefaults.configure(SparkSession.builder(), tier)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", partitions)
       // AQE post-shuffle coalescing knobs, MEASURED r16 and pinned at

@@ -17,7 +17,8 @@ object JobStats {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionDefaults.configure(
+      SparkSession.builder(), SessionDefaults.forDir(sfDir))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", cpus))
@@ -54,6 +55,21 @@ object JobStats {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // stable-polling quiescence (ADVICE r16): a fixed sleep lets
+    // straggler warm-up events delivered after the reset pollute the
+    // counted run on a slow listener bus — wait until the counter
+    // tuple is stable across two 50 ms polls (or 5 s) instead.
+    def quiesce(): Unit = {
+      val deadline = System.currentTimeMillis() + 5000
+      var last = (-1, -1, -1L, -1L)
+      var stable = 0
+      while (System.currentTimeMillis() < deadline && stable < 2) {
+        val cur = (jobs, stages, tasks, taskMs)
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(50)
+      }
+    }
+
     val names = args(0).split(",").map(_.trim).toSeq
     names.foreach { n =>
       def run(): Double = {
@@ -63,10 +79,10 @@ object JobStats {
         (System.nanoTime() - t0) / 1e9
       }
       run() // warm-up
-      Thread.sleep(400) // let the async listener bus drain
+      quiesce()
       jobs = 0; stages = 0; tasks = 0L; taskMs = 0L
       val wall = run()
-      Thread.sleep(400)
+      quiesce()
       println(f"JOBSTATS $n jobs=$jobs stages=$stages tasks=$tasks " +
         f"task_ms=$taskMs wall=$wall%.3f")
     }

@@ -4,10 +4,13 @@ package graft
   * queries to files (`runMain graft.PlanDump outDir suffix q1,q2,...`
   * or `all`) — the r16 optimization round's evidence artifacts
   * (`plans/r16/<query>_before.txt` / `_after.txt`). Uses the same
-  * session shape as Bench (same thresholds/AQE) so the dumped plan is
-  * the one the bench actually runs, pre-execution (AQE final plans are
-  * ledgered separately via PlanPeek where they differ materially).
-  * SPARK_GRAFT_SF_DIR picks the corpus (default sf0.1, the bench SF).
+  * session shape as Bench INCLUDING the SessionDefaults scale-tier
+  * confs (ADVICE r16: the tier-aware broadcast thresholds and
+  * fileCompressionFactor change broadcast choices, so plans dumped at
+  * the sf100 tier now match what Bench actually runs), pre-execution
+  * (AQE final plans are ledgered separately via PlanPeek where they
+  * differ materially). SPARK_GRAFT_SF_DIR picks the corpus (default
+  * sf0.1, the bench SF).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -15,7 +18,8 @@ object PlanDump {
     val suffix = args(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    val spark = SessionDefaults.configure(
+      org.apache.spark.sql.SparkSession.builder(), SessionDefaults.forDir(sfDir))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -85,7 +85,10 @@ object Tables {
       keys: org.apache.spark.sql.Column*)(df: DataFrame): DataFrame = {
     val bytes = bytesOf(spark, dir, name)
     val p = spark.sparkContext.defaultParallelism
-    val maxSplit = 128L << 20 // spark.sql.files.maxPartitionBytes default
+    // the SESSION's split size, not the 128 MB default — an env override
+    // (SPARK_GRAFT_MAX_PARTITION_BYTES in JobStats) must not make this
+    // guard mis-predict the planned scan splits (ADVICE r16)
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val plannedSplits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
     if (bytes <= FanOutCapBytes && plannedSplits < p)
       if (keys.isEmpty) df.repartition(p) else df.repartition(p, keys: _*)

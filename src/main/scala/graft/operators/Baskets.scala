@@ -11,13 +11,13 @@ import org.apache.spark.sql.functions._
   * DEPENDENCE: lift > 1 ⇔ the pair co-occurs more than independence
   * predicts).
   *
-  * Spark-first shape: project baskets to the distinct (order, brand)
-  * level FIRST (bounded at |brands| rows per order — the cardinality
-  * cap that makes pair enumeration safe at 100 TB), then one
-  * order-keyed self-join emits ≤ C(|brands|,2) pairs per order, and a
-  * pair-keyed count + two broadcast joins of the |brands|-sized
-  * marginal table finish it. No all-pairs anything: the join key is
-  * the order, and per-key width is a constant.
+  * Spark-first shape: reduce baskets to per-order DISTINCT item sets
+  * in ONE order-keyed aggregation (bounded at |brands| items per order
+  * — the cardinality cap that makes pair enumeration safe at 100 TB),
+  * enumerate the ≤ C(|brands|,2) pairs per order map-side from the
+  * sorted set, and a pair-keyed count + two joins of the
+  * |brands|-sized marginal table finish it. No all-pairs anything and
+  * no corpus self-join: the corpus crosses the wire once.
   *
   * Determinism/oracle: supports are exact integers; lift is ONE double
   * division of integer products — identical IEEE ops in DuckDB; output
@@ -30,13 +30,31 @@ object Baskets {
     * allowed; projected distinct internally): (item_a, item_b, n_a,
     * n_b, n_ab, lift) for pairs with n_ab ≥ minSupport. */
   def pairLift(baskets: DataFrame, minSupport: Long = MinSupport): DataFrame = {
-    val ob = baskets.select(col("basket_id"), col("item")).distinct()
-    val nBaskets = ob.select(col("basket_id")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val marg = ob.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairs = ob.select(col("basket_id"), col("item").as("item_a"))
-      .join(ob.select(col("basket_id"), col("item").as("item_b")), "basket_id")
-      .where(col("item_a") < col("item_b"))
+    // r17 (guide §2.4 — remove shuffles outright): ONE basket-keyed
+    // exchange with map-side partial collect_set replaces the r16
+    // shape's distinct exchange PLUS the two self-join exchanges of the
+    // corpus-sized (basket, item) frame; basket count, marginals and
+    // the pair stream all derive from the per-basket item sets, so the
+    // shared groupBy exchange is planned once (ReusedExchange) and the
+    // corpus crosses the wire exactly once. Pair enumeration happens
+    // map-side on the sorted set (i < j positions ≡ item_a < item_b in
+    // the same binary string order the join predicate used) and is
+    // partially aggregated before the pair-keyed exchange.
+    // Null-item edge kept bit-compatible: collect_set drops nulls, but
+    // the groupBy row survives (empty set), so a null-only basket still
+    // counts in n_baskets while producing no pairs — exactly what
+    // `item_a < item_b` (null-rejecting) produced before; the null
+    // marginal row never reached the output (pair joins are non-null).
+    val ba = baskets.groupBy(col("basket_id"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+    val nBaskets = ba.agg(count(lit(1)).as("n_baskets"))
+    val marg = ba.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = ba.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1),
+          |    y -> struct(x AS item_a, y AS item_b))))""".stripMargin)).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)

@@ -52,24 +52,34 @@ object NgramLm {
           " i -> struct(element_at(s, i) AS prev, element_at(s, i + 1) AS cur))")).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
     val bgCounts = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
-    val prefix = bg.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
-    // conditional tokens (positions ≥ 2): shuffle join on the pair key —
-    // the bigram table is corpus-sized at scale, never broadcast.
-    // r16: the prefix/uni marginals lost their bare broadcast() hints
-    // too — "vocabulary-sized" is NOT bounded (the sf100 corpus carries
-    // a 1000x-replicated vocab and the hinted build materialized
-    // 39.8 GiB, over Spark's hard 8 GiB cap — the r16 tail's q87
-    // failure). AQE broadcasts them from MEASURED sizes whenever they
-    // genuinely fit; past that they belong in the shuffle join they
-    // now fall back to. `total` stays hinted: 1 row by construction.
-    val cond = bg.join(bgCounts, Seq("prev", "cur"))
+    // r17 (guide §2.1): the prefix marginal is the row-sum of the pair
+    // counts (c(u·) = Σ_w c(u,w)), so it derives from bgCounts instead
+    // of re-aggregating the full bigram stream — one corpus pass fewer.
+    val prefix = bgCounts.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    // r17 (guide §2.3 — shuffle/score the light form): −ln p depends
+    // only on the PAIR, so it is computed once per distinct (prev, cur)
+    // on the pair-vocabulary-sized count table and attached to the
+    // stream by ONE join — the r16 shape dragged every occurrence
+    // through three statistic joins plus the crossJoin. Identical
+    // expression tree per token (same IEEE ops, same DECIMAL(20,12)
+    // truncation point), so the per-doc decimal sums are bit-equal.
+    // Join sizing: the pair table grows with the corpus, never hinted —
+    // r16 removed the bare broadcast() hints after a "vocabulary-sized"
+    // hinted build materialized 39.8 GiB at sf100 (over Spark's hard
+    // 8 GiB cap). AQE broadcasts the pair-nll table from MEASURED sizes
+    // whenever it genuinely fits; past that the stream join falls back
+    // to shuffle — and now shuffles ONE small decimal per pair instead
+    // of three statistic columns. `total` stays hinted: 1 row.
+    val pairNll = bgCounts
       .join(prefix, Seq("prev"))
       .join(uni.withColumnRenamed("tok", "cur"), Seq("cur"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .select(col("prev"), col("cur"),
         (-log(lit(lambda) * (col("cb").cast("double") / col("cp").cast("double"))
           + lit(1 - lambda) * (col("cu").cast("double") / col("n").cast("double"))))
           .cast("decimal(20,12)").as("nll"))
+    val cond = bg.join(pairNll, Seq("prev", "cur"))
+      .select(col("doc_id"), col("nll"))
     // first token of every document: unigram-only
     val first = docs
       .select(col("doc_id"), element_at(split(col(textCol), " "), 1).as("tok"))

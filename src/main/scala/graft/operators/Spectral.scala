@@ -81,7 +81,7 @@ object Spectral {
     var v = s.range(Dim).select(col("id").cast("int").as("pos"),
       lit(1.0 / 8).as("loading")) // 1/8 = exact binary, |v|=1 at dim 64
     var nrm = v.limit(0).select(lit(0.0).as("nrm")) // replaced each round
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val w = cov.join(v.withColumnRenamed("pos", "j"), Seq("j"))
         .select(col("i"), (col("c") * col("loading")).cast("decimal(28,12)").as("t"))
         .groupBy(col("i"))
@@ -91,6 +91,14 @@ object Spectral {
           .as("nrm"))
       v = w.join(broadcast(nrm), lit(true))
         .select(col("i").as("pos"), round(col("w") / col("nrm"), 12).as("loading"))
+      // plan-growth guard (ADVICE r16): each round references w twice
+      // (directly and via the nrm broadcast), so the lazy plan doubles
+      // per round — invisible at the default Iters=3, exponential
+      // analysis cost for a caller passing large `iters` through this
+      // public API. Re-anchor the 64-row vector every 4th round; the
+      // loadings are already rounded to 12 dp, so the checkpoint is
+      // arithmetic-neutral. Never fires at the default depth.
+      if (k % 4 == 0 && k < iters) v = v.localCheckpoint()
     }
     v.join(broadcast(nrm.select(round(col("nrm"), 9).as("eig"))), lit(true))
       .select(col("pos"), col("loading"), col("eig"))

@@ -76,4 +76,20 @@ class SpectralSpec extends AnyFunSuite {
     assert(proj.collect().map(_.getAs[Long]("n_vecs")).sum ==
       Tables.t(spark, sf, "embeddings").count())
   }
+
+  test("deep iteration counts stay analyzable (plan-growth guard)") {
+    // each un-anchored round doubles the lazy plan (w referenced
+    // directly and via the nrm broadcast) — at iters=12 that is 2^12
+    // subtree copies without the every-4th-round re-anchor. The guard
+    // must keep this both fast and correct: a converged power iteration
+    // is idempotent, so deep iteration preserves unit norm.
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val samp = e.orderBy(md5(col("vec_id").cast("string")).asc_nulls_last,
+      col("vec_id").asc_nulls_last).limit(100)
+    val v = operators.Spectral.topComponent(spark, samp, iters = 12).collect()
+    assert(v.length == 64)
+    val norm2 = v.map(_.getAs[Double]("loading")).map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"component not unit norm: $norm2")
+  }
 }
