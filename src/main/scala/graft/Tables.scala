@@ -100,16 +100,20 @@ object Tables {
 
   /** [[fanOut]] + ONE eager localCheckpoint — for multi-scan iterative
     * consumers (the refined-quantile family re-reads its base 4-9
-    * times: range init + one scan per bracket pass). A fan-out alone
-    * made those WORSE (r16 board: q150 5.4→12.2 s quiet re-run —
-    * every scan re-executed the repartition exchange, and this
-    * container's per-task overhead is high); pinning pays the parallel
-    * scan once and every later pass reads the cached 32-way blocks.
-    * Size discipline as [[fanOut]]: past the cap nothing is
-    * repartitioned or cached — a 100 TB base is never pinned, the
-    * passes stay plain scans with native split parallelism. The
-    * checkpoint lives inside the timed query (constructed fresh per
-    * execution — no cross-run reuse). */
+    * times: range init + one scan per bracket pass).
+    *
+    * UNUSED as of r17 — kept as a documented negative result. The r16
+    * round shipped this on noisy-window walls after a bare fanOut made
+    * the family worse (q150 5.4→12.2 s: every pass re-paid the
+    * exchange); the r17 QUIET 32-core JobStats A/B (SPARK_GRAFT_PIN=0
+    * toggle) measured the pin losing to PLAIN re-scans across all
+    * seven call sites — walls 1.3-2.3× worse and summed task time
+    * 10-30× worse (q150: 4.1 s plain vs 111.6 s pinned; q126 0.8 vs
+    * 27.4). Re-reading a column-pruned single-row-group parquet
+    * projection costs ~30 ms a pass; scanning 32 cached checkpoint
+    * partitions costs ~300 ms of task time PER TASK on this container.
+    * Size-capped at [[FanOutCapBytes]] (no-op at sf10+), so reverting
+    * the call sites changed nothing at the scale tiers. */
   def pinSmall(spark: SparkSession, dir: String, name: String,
       keys: org.apache.spark.sql.Column*)(df: DataFrame): DataFrame = {
     val bytes = bytesOf(spark, dir, name)

@@ -110,6 +110,40 @@ object TpchJoinAb {
     run("bucket", spark.table("graft_ab_li").hint("merge"),
       spark.table("graft_ab_ord"))
 
+    // bucket106 (r17, VERDICT r16 item 1): the FULL q106 kernel over
+    // the bucketed facts, dims from parquet, under the SessionDefaults
+    // tier thresholds (so part/supplier broadcast exactly as in Bench's
+    // sf100 run and the orderkey SMJ is the only fact join left — which
+    // the bucket layout makes exchange-free). Two consecutive runs: the
+    // repeat is the amortized cost a bucketed warehouse actually pays.
+    val tier = SessionDefaults.tierFor(Tables.bytesOf(spark, dir, "lineitem"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", tier.bcastStatic)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      tier.bcastAdaptive)
+    spark.conf.set("spark.sql.sources.fileCompressionFactor",
+      tier.fileCompressionFactor)
+    def q106On(li: DataFrame, ord: DataFrame): DataFrame =
+      operators.TpchFull.q106Kernel(
+        Tables.t(spark, dir, "part"), li,
+        Tables.t(spark, dir, "supplier"), ord,
+        Tables.t(spark, dir, "nation"))
+    def run106(label: String, li: => DataFrame, ord: => DataFrame): Unit = {
+      val walls = (1 to 2).map { i =>
+        val (df, w) = timed {
+          val d = q106On(li, ord)
+          d.write.format("noop").mode("overwrite").save(); d
+        }
+        if (i == 2) println(s"TPCH_JOIN_AB $label plan: ${shape(df)}")
+        w
+      }
+      println(f"TPCH_JOIN_AB $label run1=${walls(0)}%.1f s " +
+        f"run2=${walls(1)}%.1f s")
+    }
+    run106("q106_plain", Tables.t(spark, dir, "lineitem"),
+      Tables.t(spark, dir, "orders"))
+    run106("q106_bucket", spark.table("graft_ab_li"),
+      spark.table("graft_ab_ord"))
+
     spark.stop()
   }
 }

@@ -59,7 +59,7 @@ object Mad {
   /** Q150: MAD outlier profile of l_extendedprice per return flag. */
   private def q150(s: SparkSession, dir: String): DataFrame =
     madOutliers(s,
-      Tables.pinSmall(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")
+      (Tables.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))))
 
   private val q150Sql = {

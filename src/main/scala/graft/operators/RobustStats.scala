@@ -162,8 +162,12 @@ object RobustStats {
     * q150's executed plan held 256 parquet scans; with it the plan is
     * exactly the documented passes+1 scans, and callers that join the
     * result repeatedly (q150 joins `med` twice) pay zero re-derivation.
-    * Checkpointing is EAGER: calling this function runs the refinement
-    * jobs immediately and returns a materialized ≤|groups|-row frame.
+    * Checkpoints are LAZY as of r17 (driver-job diet, the q133/CC
+    * pattern): each pass's bracket is materialized by the NEXT pass's
+    * own broadcast build instead of a standalone job — measured at the
+    * bench SF: q150 39→31 jobs / 4.9→4.4 s, q161 18→14 / 1.7→1.2 s,
+    * with lineage still cut at every pass (the checkpoint finalizes
+    * inside the consuming job, so no 2^passes re-derivation returns).
     *
     * Determinism/oracle: membership in pass k replays the parent
     * passes' exact bin formula — pure +,−,×,÷, floor on doubles plus
@@ -203,7 +207,7 @@ object RobustStats {
       count(lit(1)).as("n"))
       .withColumn("t", ceil(lit(q) * col("n")).cast("long"))
       .withColumn("c_lo", lit(0L))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (k <- 1 to passes) {
       // r16 job-count pass: the bracket columns are functionally
       // determined by g, so GROUPING by them alongside (g, bin) leaves
@@ -226,7 +230,7 @@ object RobustStats {
           (col(s"lo$k") + col(s"w$k") * (col("bin").cast("double") +
             (col("t") - col("c_lo") - col("cum_before")).cast("double") /
               col("cnt").cast("double"))).as("q_est"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       val carried = (1 until k).flatMap(i =>
         Seq(col(s"lo$i"), col(s"w$i"), col(s"bin$i")))
       br = win.select(Seq(col("g")) ++ carried ++ Seq(
@@ -236,7 +240,7 @@ object RobustStats {
         (col(s"w$k") / lit(B.toDouble)).as(s"w${k + 1}"),
         col("n"), col("t"),
         (col("c_lo") + col("cum_before")).as("c_lo")): _*)
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     sys.error("unreachable")
   }
@@ -284,7 +288,7 @@ object RobustStats {
       .where(col("wtot") > 0.0)
       .withColumn("t", lit(q) * col("wtot"))
       .withColumn("c_lo", lit(0.0))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (k <- 1 to passes) {
       // bracket columns grouped through the histogram — same rationale
       // as refinedQuantile's r16 job-count pass above
@@ -304,7 +308,7 @@ object RobustStats {
           (col(s"lo$k") + col(s"w$k") * (col("bin").cast("double") +
             (col("t") - col("c_lo") - col("cum_before")) / col("cnt")))
             .as("q_est"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       val carried = (1 until k).flatMap(i =>
         Seq(col(s"lo$i"), col(s"w$i"), col(s"bin$i")))
       br = win.select(Seq(col("g")) ++ carried ++ Seq(
@@ -314,7 +318,7 @@ object RobustStats {
         (col(s"w$k") / lit(B.toDouble)).as(s"w${k + 1}"),
         col("wtot"), col("t"),
         (col("c_lo") + col("cum_before")).as("c_lo")): _*)
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     sys.error("unreachable")
   }
@@ -388,7 +392,7 @@ object RobustStats {
     * [[weightedRefinedQuantile]]'s determinism contract). */
   private def q161(s: SparkSession, dir: String): DataFrame =
     weightedRefinedQuantile(
-      Tables.pinSmall(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")
+      (Tables.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"),
           col("l_quantity").as("wt"))), 0.5)
       .select(col("g"), round(col("q_est"), 6).as("wmedian"))
@@ -470,7 +474,7 @@ object RobustStats {
     * per return flag. Two group-keyed passes (range, then counts) and a
     * bins-sized frame thereafter. */
   private def q123(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.pinSmall(s, dir, "lineitem")(
+    val base = (
       Tables.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
     sketchQuantiles(s, cumHist(base), Seq(0.5, 0.9, 0.99))
@@ -521,7 +525,7 @@ object RobustStats {
         min(when(col("q") === 0.95, col("q_est"))).as("p_hi"))
 
   private def q124(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.pinSmall(s, dir, "lineitem")(
+    val base = (
       Tables.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
     base.join(broadcast(winsorizeSketchCaps(s, base)), Seq("g"))
@@ -579,7 +583,7 @@ object RobustStats {
     val hist = cumHist(base)
       .select(col("g"), col("bin"), col("cnt"), col("cum_before"),
         col("lo"), col("hi"), col("w"), col("n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     base.join(broadcast(hist.select(col("g"), col("lo"), col("hi"),
         col("w"), col("n")).distinct()), Seq("g"))
       .withColumn("bin", binOf)
@@ -601,7 +605,7 @@ object RobustStats {
     * ≈10% of each group in every decile; the deviation is the sketch
     * error, itself deterministic and oracle-replayed exactly). */
   private def q126(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.pinSmall(s, dir, "lineitem")(
+    val base = (
       Tables.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x")))
     quantileTransformSketch(s, base)
@@ -669,7 +673,7 @@ object RobustStats {
     * Default None keeps decimal aggregation for arbitrary inputs. */
   def profile(s: SparkSession, base: DataFrame,
       pairedScale: Option[Int] = None): DataFrame = {
-    val rng = rangeOf(base).localCheckpoint() // ----------------- scan 1
+    val rng = rangeOf(base).localCheckpoint(false) // ----------------- scan 1
     val wc = Window.partitionBy(col("g")).orderBy(col("bin").asc_nulls_last)
     val hist = base.join(broadcast(rng), Seq("g")) // ------------ scan 2
       .withColumn("bin", binOf)
@@ -692,7 +696,7 @@ object RobustStats {
         (sum(col("sx")).over(wc) - col("sx")).cast("double"))
       .join(broadcast(rng), Seq("g"))
       .withColumn("w", widthCol)
-      .localCheckpoint()
+      .localCheckpoint(false)
     // quantile pivot, Gini fold, and the per-group profile frame: all
     // bins-sized lineage over the two checkpointed frames
     val pv = sketchQuantiles(s, hist, Seq(0.05, 0.5, 0.9, 0.95, 0.99))
@@ -752,7 +756,7 @@ object RobustStats {
         case Some(_) => graft.Canon.psumDecimal("scap", 6)
         case None => col("scap")
       })
-      .localCheckpoint()
+      .localCheckpoint(false)
     val decdev = cells.groupBy(col("g"), col("decile"))
       .agg(sum(col("cnt")).as("dcnt"), min(col("n")).as("n"))
       .groupBy(col("g"))
@@ -819,7 +823,7 @@ object RobustStats {
   // is < 1.1e11 with Σhi < 103·rows — both safe past 10^13 rows
   private def q152(s: SparkSession, dir: String): DataFrame =
     profile(s,
-      Tables.pinSmall(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")
+      (Tables.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))),
       pairedScale = Some(2))
 
@@ -961,7 +965,7 @@ object RobustStats {
   // cast to exact 2-dp doubles < 1.1e5
   private def q155(s: SparkSession, dir: String): DataFrame =
     profileTable(s,
-      Tables.pinSmall(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")
+      (Tables.t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_discount"),
           col("l_extendedprice"), col("l_quantity"), col("l_tax"))),
       col("l_returnflag"),

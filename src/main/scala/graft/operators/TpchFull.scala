@@ -178,19 +178,34 @@ object TpchFull {
     * cost leg substitutes 0.6 × p_retailprice × l_quantity (a fixed
     * margin against the part's list price), keeping the
     * expression-over-4-table-join shape intact. */
-  private def q106(s: SparkSession, dir: String): DataFrame = {
+  /** Q106's join/aggregate kernel over EXPLICIT inputs — shared by the
+    * registry entry (plain parquet frames) and [[graft.TpchJoinAb]]'s
+    * bucketed-layout rung (catalog facts bucketed by orderkey), so the
+    * layout A/B measures the identical computation. With the dims
+    * broadcast (the SessionDefaults sf100 thresholds), the lineitem ⋈
+    * orders sort-merge is the only fact shuffle left; when BOTH facts
+    * arrive bucketed by orderkey, broadcast joins preserve lineitem's
+    * bucket partitioning through the dim attachments and that SMJ runs
+    * exchange-free — the 100 TB answer for a key joined many times per
+    * day (the ingest shuffle amortizes across repeats). */
+  def q106Kernel(part: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+      orders: DataFrame, nation: DataFrame): DataFrame = {
     val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
       col("p_retailprice") * col("l_quantity") * lit(0.6)).cast("decimal(28,4)")
-    Tables.t(s, dir, "part").where(col("p_name").like("%red%"))
-      .join(Tables.t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
-      .join(Tables.t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.t(s, dir, "nation")),
-        col("s_nationkey") === col("n_nationkey"))
+    part.where(col("p_name").like("%red%"))
+      .join(lineitem, col("p_partkey") === col("l_partkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(profit).cast("double").as("sum_profit"))
       .orderBy(col("nation").asc_nulls_last, col("o_year").desc_nulls_last)
   }
+
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    q106Kernel(Tables.t(s, dir, "part"), Tables.t(s, dir, "lineitem"),
+      Tables.t(s, dir, "supplier"), Tables.t(s, dir, "orders"),
+      Tables.t(s, dir, "nation"))
 
   private val q106Sql =
     """SELECT n_name AS nation,
