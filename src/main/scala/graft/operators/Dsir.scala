@@ -83,6 +83,12 @@ object Dsir {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
+  // fanOut(doc_id) tried r17 and REVERTED: wall-neutral (2.23→2.15 s,
+  // noise) while summed task time rose 2.1→30.8 s — the serial explode
+  // was never the wall here (the ~10 planning-floor jobs are), and 32
+  // concurrent explode tasks contend on memory bandwidth for pure
+  // waste. The measured q88 negative from r16 (per-(doc,bucket)
+  // histogram fold, 25% slower) also stands — see dsirWeights.
   private def q88(s: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.t(s, dir, "documents"), col("lang") === "en")
 

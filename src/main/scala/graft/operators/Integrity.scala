@@ -54,19 +54,28 @@ object Integrity {
         countDistinct(when(col(s"__pk_${safe(name)}").isNull, col(fk)))
           .as(s"missing_${safe(name)}"))
     }
-    // ONE-row audit frame, checkpointed: the per-edge projections below
-    // would otherwise each re-derive the whole fact aggregate (the q126
-    // double-derivation lesson)
+    // r17 (driver-job diet): the audit is ONE row wide — unpivot it
+    // with a single explode instead of one union branch (and one AQE
+    // stage-job chain) per edge. The former shape additionally needed
+    // an EAGER construction-time localCheckpoint so the branches would
+    // not each re-derive the whole fact aggregate (the q126
+    // double-derivation lesson); with a single consumer the checkpoint
+    // is gone entirely — q175's five refIntegrity calls dropped from
+    // 46 jobs / 3.1 s to a single-digit job count.
     val allAggs = count(lit(1)).as("fact_rows") +: aggs
-    val totals = joined.agg(allAggs.head, allAggs.tail: _*).localCheckpoint()
-    val edgeRows = edges.map { case (name, _) =>
-      totals.select(lit(name).as("edge"), col("fact_rows"),
+    val totals = joined.agg(allAggs.head, allAggs.tail: _*)
+    val edgeStructs = array(edges.map { case (name, _) =>
+      struct(lit(name).as("edge"),
         col(s"orphans_${safe(name)}").as("orphan_rows"),
-        round(col(s"orphans_${safe(name)}").cast("double")
-          / col("fact_rows"), 9).as("orphan_rate"),
         col(s"missing_${safe(name)}").as("missing_keys"))
-    }
-    edgeRows.reduce(_.unionAll(_)).orderBy(col("edge").asc_nulls_last)
+    }: _*)
+    totals.select(col("fact_rows"), explode(edgeStructs).as("e"))
+      .select(col("e.edge").as("edge"), col("fact_rows"),
+        col("e.orphan_rows").as("orphan_rows"),
+        round(col("e.orphan_rows").cast("double")
+          / col("fact_rows"), 9).as("orphan_rate"),
+        col("e.missing_keys").as("missing_keys"))
+      .orderBy(col("edge").asc_nulls_last)
   }
 
   /** PUBLIC API — functional-dependency audit: for each declared
