@@ -83,8 +83,13 @@ object Tables {
     * until after the explode. */
   def fanOut(spark: SparkSession, dir: String, name: String,
       keys: org.apache.spark.sql.Column*)(df: DataFrame): DataFrame = {
+    // dev A/B toggles (r17 quiet re-pin protocol): =0 disables the
+    // fan-out outright, _WIDTH pins the repartition width — so the
+    // width-vs-contention A/B runs against one binary
+    if (sys.env.get("SPARK_GRAFT_FANOUT").contains("0")) return df
     val bytes = bytesOf(spark, dir, name)
-    val p = spark.sparkContext.defaultParallelism
+    val p = sys.env.get("SPARK_GRAFT_FANOUT_WIDTH").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     // the SESSION's split size, not the 128 MB default — an env override
     // (SPARK_GRAFT_MAX_PARTITION_BYTES in JobStats) must not make this
     // guard mis-predict the planned scan splits (ADVICE r16)

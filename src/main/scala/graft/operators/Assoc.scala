@@ -414,12 +414,17 @@ object Assoc {
     * return flag — q164's robust twin. Where Pearson reads tail-driven
     * co-movement, rank correlation reads the monotone relationship the
     * feature-selection question actually asks about. */
+  // r17 quiet re-pin (VERDICT r16 item 3): the r16 keyless fanOut
+  // REVERTED on measurement — same-window median-of-5 walls 7.79 s
+  // fanned vs 6.34 s plain (r15 pre-fanOut pin 6.52) and 2.1× the
+  // summed task time (27.9 s vs 13.2). The round-robin exchange paid
+  // its local sort + a full extra pass over the melt input for
+  // parallelism the 32-way explode then burned in memory-bandwidth
+  // contention; the r16 "14 s single-task stage" reading was from a
+  // window later stamped noisy.
   private def q166(s: SparkSession, dir: String): DataFrame =
     spearman(
-      // keyless fan-out: the melt's aggregation keys (name, v) only
-      // exist after the explode, so round-robin spread is the one that
-      // parallelizes the melt itself (Tables.fanOut scale discipline)
-      Tables.fanOut(s, dir, "lineitem")(Tables.t(s, dir, "lineitem")).select(
+      Tables.t(s, dir, "lineitem").select(
         col("l_returnflag").as("g"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax")),
       q164Cols)

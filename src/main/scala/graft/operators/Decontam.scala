@@ -177,9 +177,15 @@ object Decontam {
         min(col("hamming")).cast("long").as("min_hamming"))
       .orderBy(col("doc_id").asc_nulls_last)
 
+  // r17 quiet re-pin (VERDICT r16 item 3): the r16 fanOut(doc_id) here
+  // REVERTED on measurement — same-window median-of-5 walls 5.74 s
+  // fanned vs 4.28 s plain (r15 pre-fanOut pin 4.13) and 6× the summed
+  // task time (23.4 s vs 3.9 s: 32-way explode of a ~10 MB corpus is
+  // pure memory-bandwidth contention on this container — the same
+  // signature that rejected q88's fanOut). The driver's noisy-window
+  // 41 s reading was this CPU inflation under contention.
   private def q82(s: SparkSession, dir: String): DataFrame =
-    splitLeakage(Tables.fanOut(s, dir, "documents", col("doc_id"))(
-      Tables.t(s, dir, "documents")))
+    splitLeakage(Tables.t(s, dir, "documents"))
 
   private def duckSplitSql(idCol: String): String =
     s"CASE WHEN ('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 8))::BIGINT " +
