@@ -148,9 +148,13 @@ object ImageDedup {
     // it replaces, spill-safe at any corpus size — and both join sides
     // read it: decode runs exactly once. Lazy: materialized by the
     // query's own first job, no extra construction-time action.
-    val bits = imgs.mapPartitions(_.map(r =>
+    val decoded = imgs.mapPartitions(_.map(r =>
       ImgBits(r.media_id, dhashBits(r.payload, gridRows, gridCols)))).toDF()
-      .localCheckpoint(false)
+    // dev A/B toggle (r17 sf100 adjudication): =0 re-plans the decode
+    // on both join sides (the pre-r17 shape)
+    val bits =
+      if (sys.env.get("SPARK_GRAFT_Q97_CKPT").contains("0")) decoded
+      else decoded.localCheckpoint(false)
     bandedHammingPairs(spark, bits, gridRows * (gridCols - 1),
       nBands, maxHamming)
   }
